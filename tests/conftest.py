@@ -1,0 +1,30 @@
+"""Test environment: force JAX onto a virtual 8-device CPU mesh.
+
+Must run before any `import jax` (pytest loads conftest first).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Single-core CI box: avoid thread oversubscription.
+os.environ.setdefault("XLA_CPU_MULTI_THREAD_EIGEN", "false")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def tokenizer():
+    from fish_speech_tpu.tokenizer import build_test_tokenizer
+
+    return build_test_tokenizer()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
