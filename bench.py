@@ -1,0 +1,126 @@
+"""Single-stream synthesis benchmark.
+
+Measures the Dual-AR decode loop (1 slow step + num_codebooks fast steps per
+audio frame) on the flagship-scale model with random bf16 weights, through
+the REAL generation path (jitted chunked decode + on-device sampling + host
+chunk sync), and reports speed as a multiple of realtime at the codec's
+21.53 frames/s.
+
+Prints ONE JSON line:
+  {"metric": "single_stream_x_realtime", "value": N, "unit": "x_realtime",
+   "vs_baseline": M}
+
+vs_baseline compares against the reference's published serving number
+(RTF 0.195 on 1x H200 via SGLang => 5.13x realtime; BASELINE.md).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# Persistent compilation cache: later rounds skip the big compile.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+REFERENCE_X_REALTIME = 1.0 / 0.195  # H200 + SGLang headline
+FRAMES_PER_SECOND = 44100.0 / 2048.0  # 21.53 tokens/s
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--small", action="store_true",
+                        help="tiny model (CPU smoke test)")
+    parser.add_argument("--steps", type=int, default=256,
+                        help="decode steps to time")
+    parser.add_argument("--prompt-len", type=int, default=128)
+    parser.add_argument("--chunk", type=int, default=64,
+                        help="decode steps per host sync")
+    parser.add_argument("--batch", type=int, default=1)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fish_speech_tpu.config import SamplingConfig, dual_ar_s2_pro, dual_ar_tiny
+    from fish_speech_tpu.generate import GenerationSession
+    from fish_speech_tpu.models import dual_ar
+
+    if args.small:
+        cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=4395,
+                           im_end_id=3, codebook_size=4096, num_codebooks=10)
+    else:
+        cfg = dual_ar_s2_pro(
+            semantic_begin_id=151000, semantic_end_id=155095, im_end_id=151000 - 6
+        )
+        # semantic range must lie inside the vocab
+        assert cfg.semantic_end_id < cfg.vocab_size
+
+    dtype = jnp.bfloat16
+    t0 = time.perf_counter()
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    jax.block_until_ready(params)
+    n_params = dual_ar.param_count(params)
+    print(
+        f"# init: {n_params/1e9:.2f}B params in {time.perf_counter()-t0:.1f}s "
+        f"on {jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+    session = GenerationSession(
+        params, cfg, SamplingConfig(), max_batch=args.batch, dtype=dtype,
+        decode_chunk_size=args.chunk,
+    )
+
+    # Prompt: plain text ids (no reference audio), mimicking a short request.
+    rng = np.random.default_rng(0)
+    prompt = np.zeros((cfg.num_codebooks + 1, args.prompt_len), dtype=np.int32)
+    prompt[0] = rng.integers(10, 1000, size=args.prompt_len)
+
+    def run(n_steps, key):
+        return session.generate(
+            prompt, key, max_new_tokens=n_steps,
+            temperature=0.8, top_p=0.8, top_k=30,
+        )
+
+    # Warmup/compile (prefill bucket + decode chunk).
+    t0 = time.perf_counter()
+    out = run(args.chunk + 1, jax.random.PRNGKey(1))
+    compile_time = time.perf_counter() - t0
+    print(f"# warmup+compile: {compile_time:.1f}s", file=sys.stderr)
+
+    # Timed run: full generate of args.steps tokens (includes prefill).
+    t0 = time.perf_counter()
+    out = run(args.steps, jax.random.PRNGKey(2))
+    wall = time.perf_counter() - t0
+    n_frames = out.shape[1]
+
+    # Time-to-first-chunk (prefill + first decode chunk -> first audio-worth
+    # of tokens available to the codec).
+    t0 = time.perf_counter()
+    _ = run(min(args.chunk, 8), jax.random.PRNGKey(3))
+    ttfc = time.perf_counter() - t0
+
+    frames_per_s = n_frames / wall
+    x_realtime = frames_per_s / FRAMES_PER_SECOND
+    result = {
+        "metric": "single_stream_x_realtime",
+        "value": round(x_realtime, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(x_realtime / REFERENCE_X_REALTIME, 3),
+        "extra": {
+            "frames_per_s": round(frames_per_s, 2),
+            "rtf": round(1.0 / max(x_realtime, 1e-9), 4),
+            "steps": int(n_frames),
+            "wall_s": round(wall, 3),
+            "first_chunk_s": round(ttfc, 3),
+            "params_b": round(n_params / 1e9, 3),
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -349,7 +349,7 @@ class GenerateConfig:
 
 def dual_ar_tiny(vocab_size: int = 4608, **overrides) -> DualARConfig:
     """Tiny config for tests / CPU smoke runs."""
-    cfg = DualARConfig(
+    kw = dict(
         vocab_size=vocab_size,
         n_layer=2,
         n_head=2,
@@ -367,9 +367,9 @@ def dual_ar_tiny(vocab_size: int = 4608, **overrides) -> DualARConfig:
         fast_head_dim=16,
         fast_intermediate_size=64,
         tie_word_embeddings=True,
-        **overrides,
     )
-    return cfg.resolve()
+    kw.update(overrides)
+    return DualARConfig(**kw).resolve()
 
 
 def dual_ar_s2_pro(**overrides) -> DualARConfig:

@@ -1,0 +1,446 @@
+"""Token-level generation runtime for the Dual-AR model.
+
+TPU-first redesign of the reference generation loop
+(`fish_speech/models/text2semantic/inference.py`):
+
+  * prefill and decode are two `jax.jit` programs with bucketed static
+    shapes (prompt padded up to a bucket; lengths masked);
+  * the decode loop runs as `lax.scan` chunks of `decode_chunk_size` steps —
+    the host only syncs once per chunk to check for `<|im_end|>` (this is
+    also the streaming granularity);
+  * sampling (top-p/top-k/temperature + RAS) happens on device inside the
+    step, with the PRNG key threaded through the carry;
+  * the constrained-decoding LM head is computed only over the semantic id
+    range + im_end (identical values to full-logits + -inf bias);
+  * the fast-AR inner loop is a `lax.scan` over the codebook axis with its
+    (tiny) KV cache living in registers/VMEM for the whole step.
+
+Sampling parameters (temperature/top_p/top_k) are traced values — changing
+them never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import re
+import time
+from dataclasses import dataclass
+from typing import Generator, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fish_speech_tpu.config import DualARConfig, GenerateConfig, SamplingConfig
+from fish_speech_tpu.models import dual_ar
+from fish_speech_tpu.ops.sampling import ras_select, sample
+from fish_speech_tpu.sequence import Conversation, Message, TextPart, VQPart
+from fish_speech_tpu.tokenizer import FishTokenizer
+
+PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def pick_bucket(t: int, max_seq: int) -> int:
+    for b in PROMPT_BUCKETS:
+        if t <= b and b <= max_seq:
+            return b
+    if t <= max_seq:
+        return max_seq
+    raise ValueError(f"Prompt length {t} exceeds max_seq_len {max_seq}")
+
+
+# ---------------------------------------------------------------------------
+# Device-side steps
+# ---------------------------------------------------------------------------
+
+
+def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
+                   hidden, window, key, temperature, top_p, top_k):
+    """Sample one full (C+1)-row token column given slow-head logits.
+
+    Implements constrained sampling + RAS for the main token and the fast-AR
+    loop for codebooks 1..C-1 (`inference.py:96-181`).
+    """
+    b = logits.shape[0]
+    keys = jax.random.split(key, 4)
+
+    idx_normal = sample(keys[0], logits, temperature, top_p, top_k)
+    tok_normal = dual_ar.semantic_index_to_token(cfg, idx_normal)
+    if window is not None:
+        idx_high = sample(
+            keys[1], logits, scfg.ras_high_temp, scfg.ras_high_top_p, top_k
+        )
+        tok_high = dual_ar.semantic_index_to_token(cfg, idx_high)
+        main = ras_select(
+            tok_normal, tok_high, window, cfg.semantic_begin_id, cfg.semantic_end_id
+        )
+    else:
+        main = tok_normal
+
+    code0 = jnp.clip(main - cfg.semantic_begin_id, 0, cfg.codebook_size - 1)
+
+    # Fast-AR over the codebook axis. The cache is tiny (seq len = C).
+    fast_cache = dual_ar.init_fast_kv_cache(cfg, b, dtype=hidden.dtype)
+    h0 = dual_ar.fast_project_in(params, cfg, hidden)
+    _, fast_cache = dual_ar.fast_decode_step(params, cfg, h0, fast_cache, 0)
+
+    def fast_body(carry, i):
+        prev_code, fc, k = carry
+        x = jnp.take(params["fast"]["embeddings"], prev_code, axis=0)
+        logits_i, fc = dual_ar.fast_decode_step(params, cfg, x, fc, i)
+        k, sk = jax.random.split(k)
+        code = sample(sk, logits_i, temperature, top_p, top_k)
+        return (code, fc, k), code
+
+    (_, _, _), rest = jax.lax.scan(
+        fast_body,
+        (code0, fast_cache, keys[2]),
+        jnp.arange(1, cfg.num_codebooks),
+    )  # rest: (C-1, B)
+
+    column = jnp.concatenate(
+        [main[None], code0[None], rest], axis=0
+    ).T.astype(jnp.int32)  # (B, C+1)
+    return column
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def prefill_step(params, cfg: DualARConfig, scfg: SamplingConfig, inp, cache,
+                 lengths, key, temperature, top_p, top_k):
+    """Prefill the cache from the prompt and sample the first column."""
+    logits_full, hidden, cache = dual_ar.prefill(params, cfg, inp, cache, lengths)
+    # Use the restricted head for sampling (recompute from slow_out).
+    # `prefill` already returns hidden == slow_out when norm_fastlayer_input;
+    # recover slow_out for the head in either case.
+    # We recompute the restricted logits directly from the full logits slice
+    # to keep one code path:
+    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
+    logits = jnp.concatenate(
+        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
+        axis=1,
+    )
+    column = _sample_column(
+        params, cfg, scfg, logits, hidden, None, key, temperature, top_p, top_k
+    )
+    return column, cache
+
+
+def _decode_one(params, cfg, scfg, token, cache, pos, window, key,
+                temperature, top_p, top_k):
+    hidden, slow_out, cache = dual_ar.decode_slow_step(params, cfg, token, cache, pos)
+    logits = dual_ar.semantic_head_logits(params, cfg, slow_out)
+    key, sk = jax.random.split(key)
+    column = _sample_column(
+        params, cfg, scfg, logits, hidden, window, sk, temperature, top_p, top_k
+    )
+    return column, cache, key
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def decode_chunk(params, cfg: DualARConfig, scfg: SamplingConfig, n_steps: int,
+                 token, cache, pos, window, key, temperature, top_p, top_k):
+    """Run n_steps decode steps on device; host syncs once per chunk.
+
+    Returns (columns (n, B, C+1), token, cache, pos, window, key, done (B,)).
+    Steps continue past im_end (outputs are truncated host-side); the KV
+    writes past im_end are harmless because every batch re-prefills from
+    position 0.
+    """
+
+    def body(carry, _):
+        token, cache, pos, window, key = carry
+        column, cache, key = _decode_one(
+            params, cfg, scfg, token, cache, pos, window, key,
+            temperature, top_p, top_k,
+        )
+        window = jnp.roll(window, -1, axis=1).at[:, -1].set(column[:, 0])
+        return (column, cache, pos + 1, window, key), column
+
+    (token, cache, pos, window, key), cols = jax.lax.scan(
+        body, (token, cache, pos, window, key), None, length=n_steps
+    )
+    done = jnp.any(cols[:, :, 0] == cfg.im_end_id, axis=0)
+    return cols, token, cache, pos, window, key, done
+
+
+# ---------------------------------------------------------------------------
+# Host-side generation driver
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GenerateResponse:
+    action: str  # "sample" | "next"
+    codes: Optional[np.ndarray] = None
+    text: Optional[str] = None
+
+
+class GenerationSession:
+    """Owns the KV cache and compiled step functions for one model."""
+
+    def __init__(self, params, cfg: DualARConfig, scfg: SamplingConfig = None,
+                 max_batch: int = 1, dtype=jnp.bfloat16,
+                 decode_chunk_size: int = 32):
+        self.params = params
+        self.cfg = cfg.resolve()
+        self.scfg = scfg or SamplingConfig()
+        self.dtype = dtype
+        self.decode_chunk_size = decode_chunk_size
+        # headroom so chunked decode never writes past the buffer
+        self.cache_len = self.cfg.max_seq_len + decode_chunk_size
+        self.cache = dual_ar.init_kv_cache(
+            self.cfg, max_batch, self.cache_len, dtype
+        )
+
+    def generate(
+        self,
+        prompt: np.ndarray,  # (C+1, T) int32
+        key,
+        max_new_tokens: int = 0,
+        temperature: float = 1.0,
+        top_p: float = 0.9,
+        top_k: int = 30,
+    ) -> np.ndarray:
+        """Generate until im_end or the token budget; returns (C+1, N) numpy
+        columns including the final im_end column (parity with
+        `inference.py:241-359`)."""
+        cfg, scfg = self.cfg, self.scfg
+        t = prompt.shape[1]
+        if t >= cfg.max_seq_len:
+            raise ValueError(
+                f"Input sequence length {t} exceeds max_seq_len {cfg.max_seq_len}"
+            )
+        if max_new_tokens and t + max_new_tokens <= cfg.max_seq_len:
+            budget = max_new_tokens
+        else:
+            budget = cfg.max_seq_len - t
+
+        bucket = pick_bucket(t, self.cache_len)
+        inp = np.zeros((1, cfg.num_codebooks + 1, bucket), dtype=np.int32)
+        inp[0, :, :t] = prompt
+        lengths = jnp.asarray([t], dtype=jnp.int32)
+
+        temperature = jnp.float32(temperature)
+        top_p = jnp.float32(top_p)
+        top_k = jnp.int32(top_k)
+
+        key, pk = jax.random.split(key)
+        column, self.cache = prefill_step(
+            self.params, cfg, scfg, jnp.asarray(inp), self.cache, lengths,
+            pk, temperature, top_p, top_k,
+        )
+        columns = [np.asarray(column)]  # list of (B, C+1)
+        if int(column[0, 0]) == cfg.im_end_id:
+            return np.concatenate(columns, axis=0).T  # (C+1, 1)
+
+        pos = jnp.int32(t)
+        token = column
+        window = jnp.zeros((1, scfg.ras_win_size), jnp.int32)
+        steps_left = budget - 1
+        while steps_left > 0:
+            # Always run a FULL chunk (n_steps is a static jit arg; variable
+            # trailing chunks would each trigger a recompile) and truncate
+            # host-side. The cache has decode_chunk_size slots of headroom so
+            # the overshoot never writes out of bounds.
+            n = self.decode_chunk_size
+            cols, token, self.cache, pos, window, key, done = decode_chunk(
+                self.params, cfg, scfg, int(n), token, self.cache, pos, window,
+                key, temperature, top_p, top_k,
+            )
+            cols = np.asarray(cols)[:, 0][: max(steps_left, 0)]  # (<=n, C+1)
+            steps_left -= n
+            ends = cols[:, 0] == cfg.im_end_id
+            if ends.any():
+                stop = int(np.argmax(ends))
+                columns.append(cols[: stop + 1])
+                break
+            columns.append(cols)
+
+        return np.concatenate(columns, axis=0).T  # (C+1, N)
+
+    def generate_streaming(self, prompt, key, on_chunk, **kw):
+        """Like generate() but invokes on_chunk(columns) per decode chunk."""
+        raise NotImplementedError  # wired up by the engine in streaming mode
+
+
+# ---------------------------------------------------------------------------
+# Text chunking (`inference.py:454-520`)
+# ---------------------------------------------------------------------------
+
+_SPEAKER_PATTERN = r"(<\|speaker:\d+\|>)"
+
+
+def split_text_by_speaker(text: str) -> List[str]:
+    parts = re.split(_SPEAKER_PATTERN, text)
+    turns = []
+    i = 0
+    while i < len(parts):
+        part = parts[i].strip()
+        if re.match(_SPEAKER_PATTERN, part):
+            if i + 1 < len(parts):
+                turns.append((part + parts[i + 1]).strip())
+                i += 2
+            else:
+                turns.append(part)
+                i += 1
+        else:
+            i += 1
+    return turns
+
+
+def group_turns_into_batches(
+    turns: List[str], max_speakers: int = 5, max_bytes: int = 300
+) -> List[str]:
+    batches: List[str] = []
+    current: List[str] = []
+    current_bytes = 0
+    for turn in turns:
+        turn_bytes = len(turn.encode("utf-8"))
+        if len(current) >= max_speakers or (
+            current and current_bytes + turn_bytes > max_bytes
+        ):
+            batches.append("\n".join(current))
+            current = [turn]
+            current_bytes = turn_bytes
+        else:
+            current.append(turn)
+            current_bytes += turn_bytes
+    if current:
+        batches.append("\n".join(current))
+    return batches
+
+
+# ---------------------------------------------------------------------------
+# Long-form generation with conversation carry (`inference.py:523-733`)
+# ---------------------------------------------------------------------------
+
+SYSTEM_PROMPT_CLONE = (
+    "convert the provided text to speech reference to the following:\n\nText:\n"
+)
+SYSTEM_PROMPT_PLAIN = "convert the provided text to speech"
+
+
+def build_base_conversation(
+    prompt_text: Optional[List[str]],
+    prompt_tokens: Optional[List[np.ndarray]],
+) -> Conversation:
+    """System message for voice cloning (reference texts + VQ codes) or plain
+    TTS (`inference.py:564-598`)."""
+    conv = Conversation()
+    use_prompt = bool(prompt_text) and prompt_tokens is not None and len(prompt_tokens)
+    if use_prompt:
+        tagged = []
+        for i, t in enumerate(prompt_text):
+            if not re.search(_SPEAKER_PATTERN, t):
+                tagged.append(f"<|speaker:{i}|>{t}")
+            else:
+                tagged.append(t)
+        parts = [
+            TextPart(text=SYSTEM_PROMPT_CLONE, cal_loss=False),
+            TextPart(text="\n".join(tagged), cal_loss=False),
+            TextPart(text="\n\nSpeech:\n", cal_loss=False),
+            VQPart(codes=np.concatenate(prompt_tokens, axis=1), cal_loss=False),
+        ]
+    else:
+        parts = [TextPart(text=SYSTEM_PROMPT_PLAIN, cal_loss=False)]
+    conv.append(
+        Message(role="system", parts=parts, cal_loss=False,
+                add_im_start=True, add_im_end=True)
+    )
+    return conv
+
+
+def generate_long(
+    *,
+    session: GenerationSession,
+    tokenizer: FishTokenizer,
+    text: str,
+    num_samples: int = 1,
+    max_new_tokens: int = 0,
+    top_p: float = 0.9,
+    top_k: int = 30,
+    temperature: float = 1.0,
+    chunk_length: int = 300,
+    max_speakers: int = 5,
+    prompt_text: Optional[Union[str, List[str]]] = None,
+    prompt_tokens: Optional[Union[np.ndarray, List[np.ndarray]]] = None,
+    seed: int = 42,
+    logger=None,
+) -> Generator[GenerateResponse, None, None]:
+    """Chunked long-form generation: split text on speaker tags, batch turns,
+    generate sequentially, carrying generated codes forward as conversation
+    context so later chunks condition on earlier audio."""
+    assert 0 < top_p <= 1, "top_p must be in (0, 1]"
+    assert 0 < temperature < 2, "temperature must be in (0, 2)"
+
+    cfg = session.cfg
+    if isinstance(prompt_text, str):
+        prompt_text = [prompt_text]
+    if isinstance(prompt_tokens, np.ndarray):
+        prompt_tokens = [prompt_tokens]
+    if prompt_text and prompt_tokens and len(prompt_text) != len(prompt_tokens):
+        raise ValueError("Prompt text and tokens must have the same length")
+
+    base_conversation = build_base_conversation(prompt_text, prompt_tokens)
+
+    turns = split_text_by_speaker(text)
+    if turns:
+        batches = group_turns_into_batches(
+            turns, max_speakers=max_speakers, max_bytes=chunk_length
+        )
+    else:
+        batches = [text]
+
+    key = jax.random.PRNGKey(seed)
+
+    for sample_idx in range(num_samples):
+        conversation = Conversation(list(base_conversation.messages))
+
+        for batch_text in batches:
+            conversation.append(
+                Message(role="user", parts=[TextPart(text=batch_text)],
+                        cal_loss=False, add_im_start=True, add_im_end=True)
+            )
+            gen_conv = Conversation(list(conversation.messages))
+            gen_conv.append(
+                Message(role="assistant", parts=[], cal_loss=False,
+                        modality="voice", add_im_start=True, add_im_end=False)
+            )
+            encoded, _, _ = gen_conv.encode_for_inference(
+                tokenizer, num_codebooks=cfg.num_codebooks
+            )
+            if encoded.shape[1] > cfg.max_seq_len - 2048 and cfg.max_seq_len > 2048:
+                raise ValueError(
+                    f"Prompt is too long: {encoded.shape[1]} > "
+                    f"{cfg.max_seq_len - 2048}"
+                )
+
+            t0 = time.perf_counter()
+            key, gk = jax.random.split(key)
+            seq = session.generate(
+                encoded, gk, max_new_tokens=max_new_tokens,
+                temperature=temperature, top_p=top_p, top_k=top_k,
+            )
+            dt = time.perf_counter() - t0
+            if logger is not None:
+                logger.info(
+                    "Generated %d columns in %.2fs (%.1f tok/s)",
+                    seq.shape[1], dt, seq.shape[1] / max(dt, 1e-9),
+                )
+
+            # Drop the trailing im_end column; keep codebook rows.
+            n = seq.shape[1]
+            end = n - 1 if int(seq[0, -1]) == cfg.im_end_id else n
+            codes = np.ascontiguousarray(seq[1:, :end])
+            assert (codes >= 0).all(), "Negative code generated"
+
+            conversation.append(
+                Message(role="assistant",
+                        parts=[VQPart(codes=codes, cal_loss=False)],
+                        cal_loss=False, modality="voice",
+                        add_im_start=True, add_im_end=True)
+            )
+            yield GenerateResponse(action="sample", codes=codes, text=batch_text)
+
+        yield GenerateResponse(action="next")

@@ -1,0 +1,500 @@
+"""Dual-AR text->semantic transformer, functional JAX.
+
+The slow transformer predicts one semantic codebook over time; the fast
+transformer predicts the remaining codebooks across the codebook axis per
+frame. Reference architecture: `fish_speech/models/text2semantic/llama.py`
+(DualARTransformer); this is a TPU-first re-design:
+
+  * parameters are plain pytrees with all transformer layers STACKED on a
+    leading axis, so the layer loop is a single `lax.scan` (one compiled
+    block regardless of depth — fast compiles, great for pipelining);
+  * the KV cache is a functional value threaded through the step functions
+    (no module state); decode writes via `dynamic_update_slice`;
+  * prefill attends its own fresh K/V (never the padded cache), decode
+    attends the cache under a position mask — both shapes static;
+  * weights are stored (in, out) so every matmul is `x @ w` (MXU-native).
+
+Weight layout (all leaves jnp arrays; L = n_layer stacked axis):
+  embeddings            (V, D)
+  codebook_embeddings   (C*K, D)
+  layers/attn_norm      (L, D)
+  layers/wqkv           (L, D, (H + 2*Hkv) * Dh)   [+ bqkv]
+  layers/q_norm, k_norm (L, Dh)                     [if qk_norm]
+  layers/wo             (L, H*Dh, D)                [+ bo]
+  layers/ffn_norm       (L, D)
+  layers/w1, w3         (L, D, I)
+  layers/w2             (L, I, D)
+  norm                  (D,)
+  output                (D, V)                      [if untied]
+  fast/project_in/{w,b} (D, Df), (Df,)              [if Df != D]
+  fast/embeddings       (K, Df)
+  fast/layers/...       (same structure, Lf stacked)
+  fast/norm             (Df,)
+  fast/output           (Df, K)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fish_speech_tpu.config import DualARConfig
+from fish_speech_tpu.ops.attention import NEG_INF, gqa_attention
+from fish_speech_tpu.ops.norms import rms_norm
+from fish_speech_tpu.ops.rope import apply_rope, precompute_rope
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _dense(key, shape, std, dtype):
+    return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+
+def _init_layer_stack(key, n_layer, dim, n_head, n_kv, head_dim, inter,
+                      qkv_bias, o_bias, qk_norm, std, dtype):
+    keys = jax.random.split(key, 5)
+    total_qkv = (n_head + 2 * n_kv) * head_dim
+    layers = {
+        "attn_norm": jnp.ones((n_layer, dim), dtype),
+        "wqkv": _dense(keys[0], (n_layer, dim, total_qkv), std, dtype),
+        "wo": _dense(keys[1], (n_layer, n_head * head_dim, dim), std, dtype),
+        "ffn_norm": jnp.ones((n_layer, dim), dtype),
+        "w1": _dense(keys[2], (n_layer, dim, inter), std, dtype),
+        "w3": _dense(keys[3], (n_layer, dim, inter), std, dtype),
+        "w2": _dense(keys[4], (n_layer, inter, dim), std, dtype),
+    }
+    if qkv_bias:
+        layers["bqkv"] = jnp.zeros((n_layer, total_qkv), dtype)
+    if o_bias:
+        layers["bo"] = jnp.zeros((n_layer, dim), dtype)
+    if qk_norm:
+        layers["q_norm"] = jnp.ones((n_layer, head_dim), dtype)
+        layers["k_norm"] = jnp.ones((n_layer, head_dim), dtype)
+    return layers
+
+
+def init_dual_ar(key, cfg: DualARConfig, dtype=jnp.bfloat16):
+    cfg = cfg.resolve()
+    keys = jax.random.split(key, 8)
+    std = cfg.initializer_range
+    params = {
+        "embeddings": _dense(keys[0], (cfg.vocab_size, cfg.dim), std, dtype),
+        "codebook_embeddings": _dense(
+            keys[1], (cfg.codebook_size * cfg.num_codebooks, cfg.dim), std, dtype
+        ),
+        "layers": _init_layer_stack(
+            keys[2], cfg.n_layer, cfg.dim, cfg.n_head, cfg.n_local_heads,
+            cfg.head_dim, cfg.intermediate_size, cfg.attention_qkv_bias,
+            cfg.attention_o_bias, cfg.attention_qk_norm, std, dtype,
+        ),
+        "norm": jnp.ones((cfg.dim,), dtype),
+        "fast": {
+            "embeddings": _dense(keys[3], (cfg.codebook_size, cfg.fast_dim), std, dtype),
+            "layers": _init_layer_stack(
+                keys[4], cfg.n_fast_layer, cfg.fast_dim, cfg.fast_n_head,
+                cfg.fast_n_local_heads, cfg.fast_head_dim,
+                cfg.fast_intermediate_size, cfg.fast_attention_qkv_bias,
+                cfg.fast_attention_o_bias, cfg.fast_attention_qk_norm, std, dtype,
+            ),
+            "norm": jnp.ones((cfg.fast_dim,), dtype),
+            "output": _dense(keys[5], (cfg.fast_dim, cfg.codebook_size), std, dtype),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["output"] = _dense(keys[6], (cfg.dim, cfg.vocab_size), std, dtype)
+    if cfg.fast_dim != cfg.dim:
+        params["fast"]["project_in"] = {
+            "w": _dense(keys[7], (cfg.dim, cfg.fast_dim), std, dtype),
+            "b": jnp.zeros((cfg.fast_dim,), dtype),
+        }
+    return params
+
+
+def param_count(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: DualARConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
+    """Static slow-transformer cache: (L, B, S, Hkv, Dh) per of k/v."""
+    cfg = cfg.resolve()
+    shape = (cfg.n_layer, batch, max_seq, cfg.n_local_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def init_fast_kv_cache(cfg: DualARConfig, batch: int, dtype=jnp.bfloat16):
+    """Fast-transformer cache: sequence axis = codebook index (length C)."""
+    cfg = cfg.resolve()
+    shape = (
+        cfg.n_fast_layer,
+        batch,
+        cfg.num_codebooks,
+        cfg.fast_n_local_heads,
+        cfg.fast_head_dim,
+    )
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Embedding
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(params, cfg: DualARConfig, inp):
+    """Token + summed codebook embedding, gated by the semantic id range.
+
+    Args:
+      inp: (B, C+1, T) int32 — row 0 text ids, rows 1..C codebook values.
+    Returns (B, T, D).
+
+    Reference: `llama.py:326-345, 399-420`.
+    """
+    codes = inp[:, 1:, :]  # (B, C, T)
+    offsets = (jnp.arange(cfg.num_codebooks) * cfg.codebook_size)[None, :, None]
+    cb = jnp.take(params["codebook_embeddings"], codes + offsets, axis=0)
+    vq_sum = cb.sum(axis=1)  # (B, T, D)
+
+    main = inp[:, 0, :]
+    is_semantic = (main >= cfg.semantic_begin_id) & (main <= cfg.semantic_end_id)
+    vq_sum = jnp.where(is_semantic[..., None], vq_sum, 0)
+
+    x = jnp.take(params["embeddings"], main, axis=0) + vq_sum
+    if cfg.scale_codebook_embeddings:
+        scale = 1.0 / math.sqrt(cfg.num_codebooks + 1)
+        x = jnp.where(is_semantic[..., None], x * scale, x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Transformer blocks (shared by slow and fast stacks)
+# ---------------------------------------------------------------------------
+
+
+def _qkv(lp, spec, h):
+    """Project + split + per-head norm + shape. Returns q,k,v (B,T,H*,Dh)."""
+    n_head, n_kv, head_dim, eps = spec
+    qkv = h @ lp["wqkv"]
+    if "bqkv" in lp:
+        qkv = qkv + lp["bqkv"]
+    b, t, _ = qkv.shape
+    q_size = n_head * head_dim
+    kv_size = n_kv * head_dim
+    q = qkv[..., :q_size].reshape(b, t, n_head, head_dim)
+    k = qkv[..., q_size : q_size + kv_size].reshape(b, t, n_kv, head_dim)
+    v = qkv[..., q_size + kv_size :].reshape(b, t, n_kv, head_dim)
+    if "q_norm" in lp:
+        q = rms_norm(q, lp["q_norm"], eps)
+        k = rms_norm(k, lp["k_norm"], eps)
+    return q, k, v
+
+
+def _block_train(lp, spec, x, freqs, mask, eps):
+    """One pre-norm block, self-attention over x itself (no cache)."""
+    h = rms_norm(x, lp["attn_norm"], eps)
+    q, k, v = _qkv(lp, spec, h)
+    q = apply_rope(q, freqs)
+    k = apply_rope(k, freqs)
+    y = gqa_attention(q, k, v, mask)
+    b, t = y.shape[:2]
+    y = y.reshape(b, t, -1) @ lp["wo"]
+    if "bo" in lp:
+        y = y + lp["bo"]
+    x = x + y
+    h2 = rms_norm(x, lp["ffn_norm"], eps)
+    ffn = (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
+    return x + ffn
+
+
+def _block_decode(lp, spec, x, freqs, kc, vc, pos, kv_mask):
+    """One block in decode mode: write fresh K/V into the cache at `pos`,
+    attend over the full cache under `kv_mask` (True = visible)."""
+    n_head, n_kv, head_dim, eps = spec
+    h = rms_norm(x, lp["attn_norm"], eps)
+    q, k, v = _qkv(lp, spec, h)
+    q = apply_rope(q, freqs)
+    k = apply_rope(k, freqs)
+    kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, pos, 0, 0))
+    vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, pos, 0, 0))
+    y = gqa_attention(q, kc, vc, kv_mask)
+    b, t = y.shape[:2]
+    y = y.reshape(b, t, -1) @ lp["wo"]
+    if "bo" in lp:
+        y = y + lp["bo"]
+    x = x + y
+    h2 = rms_norm(x, lp["ffn_norm"], eps)
+    ffn = (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
+    return x + ffn, kc, vc
+
+
+def _run_stack_train(layers, spec, x, freqs, mask, eps, remat=False):
+    def body(carry, lp):
+        return _block_train(lp, spec, carry, freqs, mask, eps), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = lax.scan(body, x, layers)
+    return x
+
+
+def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask):
+    def body(carry, xs):
+        lp, kc, vc = xs
+        y, kc, vc = _block_decode(lp, spec, carry, freqs, kc, vc, pos, kv_mask)
+        return y, (kc, vc)
+
+    x, (k_new, v_new) = lax.scan(body, x, (layers, cache["k"], cache["v"]))
+    return x, {"k": k_new, "v": v_new}
+
+
+def _slow_spec(cfg: DualARConfig):
+    return (cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps)
+
+
+def _fast_spec(cfg: DualARConfig):
+    return (cfg.fast_n_head, cfg.fast_n_local_heads, cfg.fast_head_dim, cfg.norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# Training forward
+# ---------------------------------------------------------------------------
+
+
+def forward_train(
+    params,
+    cfg: DualARConfig,
+    inp,
+    labels=None,
+    pad_mask=None,
+    remat: Optional[bool] = None,
+):
+    """Full teacher-forced forward.
+
+    Args:
+      inp: (B, C+1, T) int32 inputs.
+      labels: (B, C+1, T) int32 labels (used for fast teacher forcing; row 0
+        drives which positions matter — the loss fn applies that mask).
+      pad_mask: (B, T) bool, True where PADDING.
+
+    Returns:
+      token_logits: (B, T, V) fp32
+      codebook_logits: (B, T, C, K) fp32 — fast logits computed at every
+        position; the loss gathers the semantic positions. (The reference
+        gathers positions first (`llama.py:752-790`), a dynamic shape; on TPU
+        we keep shapes static and mask in the loss.)
+    """
+    cfg = cfg.resolve()
+    if remat is None:
+        remat = cfg.use_gradient_checkpointing
+    b, _, t = inp.shape
+
+    x = embed_tokens(params, cfg, inp)
+    freqs = precompute_rope(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)[:t]
+    i = jnp.arange(t)
+    mask = i[None, :] <= i[:, None]  # (T, T) causal
+    if pad_mask is not None:
+        mask = mask[None] & ~pad_mask[:, None, :]
+
+    x = _run_stack_train(
+        params["layers"], _slow_spec(cfg), x, freqs, mask, cfg.norm_eps, remat
+    )
+    slow_out = rms_norm(x, params["norm"], cfg.norm_eps)
+    token_logits = _lm_head(params, cfg, slow_out)
+
+    hidden = slow_out if cfg.norm_fastlayer_input else x
+
+    # Teacher-forced fast pass over all positions.
+    if labels is None:
+        labels = inp
+    teacher = jnp.clip(labels[:, 1:-1, :], 0, cfg.codebook_size - 1)  # (B, C-1, T)
+    teacher = jnp.transpose(teacher, (0, 2, 1)).reshape(b * t, cfg.num_codebooks - 1)
+    codebook_logits = fast_forward_train(
+        params, cfg, hidden.reshape(b * t, cfg.dim), teacher, remat
+    )
+    return token_logits, codebook_logits.reshape(
+        b, t, cfg.num_codebooks, cfg.codebook_size
+    )
+
+
+def _lm_head(params, cfg: DualARConfig, slow_out):
+    if cfg.tie_word_embeddings:
+        w = params["embeddings"].T
+    else:
+        w = params["output"]
+    return (slow_out @ w).astype(jnp.float32)
+
+
+def fast_project_in(params, cfg: DualARConfig, hidden):
+    if "project_in" in params["fast"]:
+        p = params["fast"]["project_in"]
+        return hidden @ p["w"] + p["b"]
+    return hidden
+
+
+def fast_forward_train(params, cfg: DualARConfig, hidden, codebooks, remat=False):
+    """Teacher-forced fast transformer.
+
+    Args:
+      hidden: (N, D) slow hidden states at frame positions.
+      codebooks: (N, C-1) int32 ground-truth codebooks 0..C-2.
+    Returns (N, C, K) fp32 logits: position i predicts codebook i.
+    """
+    cfg = cfg.resolve()
+    x0 = fast_project_in(params, cfg, hidden)
+    emb = jnp.take(params["fast"]["embeddings"], codebooks, axis=0)
+    x = jnp.concatenate([x0[:, None, :].astype(emb.dtype), emb], axis=1)  # (N, C, Df)
+
+    c = cfg.num_codebooks
+    freqs = precompute_rope(c, cfg.fast_head_dim, cfg.rope_base)
+    i = jnp.arange(c)
+    mask = i[None, :] <= i[:, None]
+    x = _run_stack_train(
+        params["fast"]["layers"], _fast_spec(cfg), x, freqs, mask, cfg.norm_eps, remat
+    )
+    out = rms_norm(x, params["fast"]["norm"], cfg.norm_eps)
+    return (out @ params["fast"]["output"]).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Inference: prefill and single-step decode primitives
+# ---------------------------------------------------------------------------
+
+
+def prefill(params, cfg: DualARConfig, inp, cache, lengths):
+    """Run the prompt through the slow transformer, filling the KV cache.
+
+    Args:
+      inp: (B, C+1, Tpad) right-padded prompt matrix.
+      cache: slow KV cache dict, seq axis >= Tpad.
+      lengths: (B,) int32 true prompt lengths.
+
+    Returns (logits_last (B, V fp32), hidden_last (B, D), cache).
+    Prefill attends its own fresh K/V (positions [0, Tpad)) — the padded tail
+    produces garbage which is masked by `j < length` and overwritten by
+    subsequent decode steps before it can ever be attended.
+    """
+    cfg = cfg.resolve()
+    b, _, t = inp.shape
+    x = embed_tokens(params, cfg, inp)
+    freqs = precompute_rope(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)[:t]
+
+    i = jnp.arange(t)
+    mask = (i[None, :] <= i[:, None])[None] & (i[None, None, :] < lengths[:, None, None])
+
+    s = cache["k"].shape[2]
+    # Fresh-KV attention: build per-layer k/v, attend, and also store to cache.
+    spec = _slow_spec(cfg)
+
+    def body(carry, xs):
+        lp, kc, vc = xs
+        h = rms_norm(carry, lp["attn_norm"], cfg.norm_eps)
+        q, k, v = _qkv(lp, spec, h)
+        q = apply_rope(q, freqs)
+        k = apply_rope(k, freqs)
+        kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
+        vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
+        y = gqa_attention(q, k, v, mask)
+        y = y.reshape(b, t, -1) @ lp["wo"]
+        if "bo" in lp:
+            y = y + lp["bo"]
+        carry = carry + y
+        h2 = rms_norm(carry, lp["ffn_norm"], cfg.norm_eps)
+        ffn = (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
+        return carry + ffn, (kc, vc)
+
+    x, (k_new, v_new) = lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    cache = {"k": k_new, "v": v_new}
+
+    idx = (lengths - 1)[:, None, None]
+    x_last = jnp.take_along_axis(x, idx, axis=1)[:, 0]  # (B, D)
+    slow_out = rms_norm(x_last, params["norm"], cfg.norm_eps)
+    logits = _lm_head(params, cfg, slow_out[:, None])[:, 0]
+    hidden = slow_out if cfg.norm_fastlayer_input else x_last
+    return logits, hidden, cache
+
+
+def decode_slow_step(params, cfg: DualARConfig, token, cache, pos):
+    """One slow-transformer step.
+
+    Args:
+      token: (B, C+1) int32 current token column.
+      cache: slow KV cache.
+      pos: scalar int32 absolute position to write.
+
+    Returns (hidden (B, D) for the fast stack, slow_out (B, D) normed, cache).
+    """
+    cfg = cfg.resolve()
+    x = embed_tokens(params, cfg, token[:, :, None])  # (B, 1, D)
+
+    table = precompute_rope(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)
+    freqs = lax.dynamic_slice(table, (pos, 0, 0), (1,) + table.shape[1:])
+
+    s = cache["k"].shape[2]
+    kv_mask = (jnp.arange(s) <= pos)[None, :]  # (1=T, S)
+
+    x, cache = _run_stack_decode(
+        params["layers"], _slow_spec(cfg), x, freqs, cache, pos, kv_mask
+    )
+    x = x[:, 0]
+    slow_out = rms_norm(x, params["norm"], cfg.norm_eps)
+    hidden = slow_out if cfg.norm_fastlayer_input else x
+    return hidden, slow_out, cache
+
+
+def semantic_head_logits(params, cfg: DualARConfig, slow_out):
+    """Constrained-decoding LM head: logits over the semantic id range plus
+    `<|im_end|>` only — columns [0, S) map to semantic ids, column S is
+    im_end. Numerically identical to full-vocab logits + the reference's
+    -inf bias (`inference.py:308-320`) but skips the (potentially 150k-wide)
+    full head matmul.
+    """
+    cfg = cfg.resolve()
+    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
+    if cfg.tie_word_embeddings:
+        w_sem = params["embeddings"][sb : se + 1].T  # (D, S)
+        w_end = params["embeddings"][cfg.im_end_id][:, None]  # (D, 1)
+    else:
+        w_sem = params["output"][:, sb : se + 1]
+        w_end = params["output"][:, cfg.im_end_id][:, None]
+    w = jnp.concatenate([w_sem, w_end], axis=1)
+    return (slow_out @ w).astype(jnp.float32)  # (B, S+1)
+
+
+def semantic_index_to_token(cfg: DualARConfig, idx):
+    """Map a restricted-head sample index back to a text-vocab id."""
+    n_sem = cfg.semantic_end_id - cfg.semantic_begin_id + 1
+    return jnp.where(idx >= n_sem, cfg.im_end_id, cfg.semantic_begin_id + idx)
+
+
+def fast_decode_step(params, cfg: DualARConfig, x, fast_cache, pos):
+    """One fast-transformer step over the codebook axis.
+
+    Args:
+      x: (B, Df) input embedding (projected hidden at pos 0, else codebook
+        embedding).
+      fast_cache: fast KV cache (seq len = num_codebooks).
+      pos: scalar int32 codebook position.
+
+    Returns (logits (B, K) fp32, fast_cache).
+    """
+    cfg = cfg.resolve()
+    table = precompute_rope(cfg.num_codebooks, cfg.fast_head_dim, cfg.rope_base)
+    freqs = lax.dynamic_slice(table, (pos, 0, 0), (1,) + table.shape[1:])
+    kv_mask = (jnp.arange(cfg.num_codebooks) <= pos)[None, :]
+
+    y, fast_cache = _run_stack_decode(
+        params["fast"]["layers"], _fast_spec(cfg), x[:, None], freqs,
+        fast_cache, pos, kv_mask,
+    )
+    out = rms_norm(y[:, 0], params["fast"]["norm"], cfg.norm_eps)
+    logits = (out @ params["fast"]["output"]).astype(jnp.float32)
+    return logits, fast_cache

@@ -1,0 +1,80 @@
+"""Token sampling: temperature + nucleus (top-p) + top-k, and
+Repetition-Aware Sampling (RAS) selection.
+
+Semantics match the reference sampler (`inference.py:43-93`): top-p/top-k
+filtering is computed on the *untempered* softmax, index 0 of the descending
+sort is always kept, then temperature is applied and a Gumbel-trick
+multinomial draws the sample. Everything is branch-free jnp (the reference
+already wrote RAS branch-free for torch.compile; it maps 1:1 onto jnp.where).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def logits_to_probs(logits, temperature, top_p, top_k):
+    """Filtered, tempered probabilities.
+
+    Args:
+      logits: (..., V) float logits.
+      temperature, top_p: scalars (python or traced).
+      top_k: scalar int (python or traced); ranks >= top_k are removed.
+
+    Returns (..., V) probabilities.
+    """
+    v = logits.shape[-1]
+    lf = logits.astype(jnp.float32)
+    order = jnp.argsort(-lf, axis=-1)  # descending
+    sorted_logits = jnp.take_along_axis(lf, order, axis=-1)
+    cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    ranks = jnp.arange(v)
+    remove_sorted = (cum_probs > top_p) | (ranks >= top_k)
+    remove_sorted = remove_sorted.at[..., 0].set(False)
+    # scatter removal flags back to vocab order
+    remove = _scatter_along_last(remove_sorted, order)
+    filtered = jnp.where(remove, -jnp.inf, lf)
+    filtered = filtered / jnp.clip(temperature, 1e-5, None)
+    return jax.nn.softmax(filtered, axis=-1)
+
+
+def _scatter_along_last(values, indices):
+    """out[..., indices[..., i]] = values[..., i]."""
+    inv = jnp.argsort(indices, axis=-1)
+    return jnp.take_along_axis(values, inv, axis=-1)
+
+
+def sample_from_probs(key, probs):
+    """Gumbel-trick multinomial (`inference.py:43-46`): argmax(p / -log u)."""
+    u = jax.random.uniform(
+        key, probs.shape, dtype=jnp.float32, minval=jnp.finfo(jnp.float32).tiny
+    )
+    q = -jnp.log(u)
+    return jnp.argmax(probs / q, axis=-1).astype(jnp.int32)
+
+
+def sample(key, logits, temperature, top_p, top_k):
+    """Draw one token per row of logits. Returns int32 (...,)."""
+    probs = logits_to_probs(logits, temperature, top_p, top_k)
+    return sample_from_probs(key, probs)
+
+
+def ras_select(
+    token_normal,
+    token_high,
+    prev_window,
+    semantic_begin_id: int,
+    semantic_end_id: int,
+):
+    """Repetition-Aware Sampling: use the high-temperature sample when the
+    normal sample is a semantic token that already appears in the rolling
+    window (`inference.py:125-144`).
+
+    Args:
+      token_normal, token_high: (B,) int32.
+      prev_window: (B, W) int32 rolling window of recent main tokens.
+    """
+    in_window = jnp.any(prev_window == token_normal[:, None], axis=-1)
+    is_semantic = (token_normal >= semantic_begin_id) & (
+        token_normal <= semantic_end_id
+    )
+    return jnp.where(in_window & is_semantic, token_high, token_normal)

@@ -1,0 +1,121 @@
+"""Mesh + sharding policy.
+
+The scaling design (replacing the reference's Lightning-DDP/NCCL world,
+`SURVEY.md` §2.12): one 2D device mesh with axes
+
+  dp — data parallel (batch axis; gradient psum rides this axis)
+  tp — tensor parallel (attention heads / FFN hidden / vocab)
+
+Sharding is declarative: parameters and batches get `NamedSharding`
+annotations and GSPMD inserts the collectives (all-gather/reduce-scatter on
+ICI). The specs below are Megatron-style: qkv/w1/w3/vocab column-parallel,
+wo/w2 row-parallel, norms replicated, KV cache sharded over heads.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fish_speech_tpu.config import DualARConfig
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    dp: Optional[int] = None,
+    tp: Optional[int] = None,
+) -> Mesh:
+    """Build a (dp, tp) mesh. Defaults: all devices on tp for inference-style
+    sharding when neither is given."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None and tp is None:
+        dp, tp = 1, n
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def _layer_specs(qk_norm: bool, qkv_bias: bool, o_bias: bool):
+    specs = {
+        "attn_norm": P(None, None),
+        "wqkv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),
+        "ffn_norm": P(None, None),
+        "w1": P(None, None, "tp"),
+        "w3": P(None, None, "tp"),
+        "w2": P(None, "tp", None),
+    }
+    if qkv_bias:
+        specs["bqkv"] = P(None, "tp")
+    if o_bias:
+        specs["bo"] = P(None, None)
+    if qk_norm:
+        specs["q_norm"] = P(None, None)
+        specs["k_norm"] = P(None, None)
+    return specs
+
+
+def dual_ar_param_specs(cfg: DualARConfig):
+    """PartitionSpec pytree matching `init_dual_ar`'s structure."""
+    cfg = cfg.resolve()
+    specs = {
+        "embeddings": P("tp", None),  # vocab-sharded (big table)
+        "codebook_embeddings": P(None, None),
+        "layers": _layer_specs(
+            cfg.attention_qk_norm, cfg.attention_qkv_bias, cfg.attention_o_bias
+        ),
+        "norm": P(None),
+        "fast": {
+            "embeddings": P(None, None),
+            "layers": _layer_specs(
+                cfg.fast_attention_qk_norm,
+                cfg.fast_attention_qkv_bias,
+                cfg.fast_attention_o_bias,
+            ),
+            "norm": P(None),
+            "output": P(None, "tp"),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        specs["output"] = P(None, "tp")
+    if cfg.fast_dim != cfg.dim:
+        specs["fast"]["project_in"] = {"w": P(None, "tp"), "b": P("tp")}
+    return specs
+
+
+def kv_cache_specs():
+    """Slow KV cache (L, B, S, Hkv, Dh): batch over dp, heads over tp."""
+    return {"k": P(None, "dp", None, "tp", None), "v": P(None, "dp", None, "tp", None)}
+
+
+def batch_spec():
+    """Training batch dict specs: shard the batch axis over dp."""
+    return {
+        "inputs": P("dp", None, None),
+        "labels": P("dp", None, None),
+        "pad_mask": P("dp", None),
+    }
+
+
+def shard_params(params, cfg: DualARConfig, mesh: Mesh):
+    """Place a param pytree onto the mesh per `dual_ar_param_specs`."""
+    specs = dual_ar_param_specs(cfg)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def to_named(mesh: Mesh, tree_of_specs):
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        tree_of_specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )

@@ -1,0 +1,131 @@
+"""Optimizer + train step factory.
+
+DDP in the reference (`configs/base.yaml:18-21`, Lightning/NCCL) maps here to
+a data-sharded `jax.jit`: parameters live sharded/replicated per the mesh
+specs and XLA inserts the gradient psum automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fish_speech_tpu.config import DualARConfig
+from fish_speech_tpu.train.loss import dual_ar_loss
+
+
+def weight_decay_mask(params):
+    """Reference exclusion (`lit_module.py:44-57`): no decay for biases,
+    norm scales, and embedding tables."""
+
+    def keep(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(str(n) for n in names)
+        if "embeddings" in joined:
+            return False
+        last = names[-1] if names else ""
+        if str(last).startswith("b") and leaf.ndim == 1:  # bqkv, bo, b
+            return False
+        if "norm" in str(last) or "scale" in str(last) or str(last) in (
+            "alpha", "alpha1", "alpha2", "gamma", "norm_w", "norm_b",
+        ):
+            return False
+        if leaf.ndim == 1:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def make_optimizer(
+    lr=3e-4,
+    weight_decay: float = 0.01,
+    betas=(0.9, 0.95),
+    grad_clip: Optional[float] = 1.0,
+    params=None,
+):
+    txs = []
+    if grad_clip is not None:
+        txs.append(optax.clip_by_global_norm(grad_clip))
+    txs.append(
+        optax.adamw(
+            lr,
+            b1=betas[0],
+            b2=betas[1],
+            weight_decay=weight_decay,
+            mask=weight_decay_mask if params is None else weight_decay_mask(params),
+        )
+    )
+    return optax.chain(*txs)
+
+
+def make_train_step(cfg: DualARConfig, optimizer, trainable_filter=None):
+    """Build a jittable train step.
+
+    trainable_filter: optional pytree of bool (same structure as params);
+    False leaves get zero gradient (used by LoRA fine-tuning).
+    """
+
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            return dual_ar_loss(p, cfg, batch)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if trainable_filter is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable_filter
+            )
+        grads_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = grads_norm
+        return params, opt_state, metrics
+
+    return train_step
+
+
+# -- LR schedules (reference `fish_speech/scheduler.py`) --
+
+
+def cosine_schedule_with_warmup(
+    base_lr: float,
+    num_warmup_steps,
+    num_training_steps: int,
+    num_cycles: float = 0.5,
+    final_lr_ratio: float = 0.0,
+):
+    if 0 < num_warmup_steps < 1:
+        num_warmup_steps = int(num_warmup_steps * num_training_steps)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(num_warmup_steps, 1)
+        progress = (step - num_warmup_steps) / jnp.maximum(
+            num_training_steps - num_warmup_steps, 1
+        )
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * num_cycles * 2.0 * progress))
+        factor = jnp.where(
+            step < num_warmup_steps, warm, jnp.maximum(final_lr_ratio, cos)
+        )
+        return base_lr * factor
+
+    return schedule
+
+
+def constant_schedule_with_warmup(base_lr: float, num_warmup_steps,
+                                  num_training_steps: Optional[int] = None):
+    if 0 < num_warmup_steps < 1:
+        assert num_training_steps is not None
+        num_warmup_steps = int(num_warmup_steps * num_training_steps)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(num_warmup_steps, 1)
+        return base_lr * jnp.minimum(warm, 1.0)
+
+    return schedule

@@ -14,6 +14,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Single-core CI box: avoid thread oversubscription.
 os.environ.setdefault("XLA_CPU_MULTI_THREAD_EIGEN", "false")
 
+import jax
+
+# The env var alone can be overridden by platform plugins registered from
+# sitecustomize; the config update always wins.
+jax.config.update("jax_platforms", "cpu")
+# XLA CPU's default fp32 GEMM is reduced precision (bf16-ish); tests compare
+# float32 numerics, so force full precision.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,120 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fish_speech_tpu.config import SamplingConfig, dual_ar_tiny
+from fish_speech_tpu.generate import (
+    GenerationSession,
+    generate_long,
+    group_turns_into_batches,
+    pick_bucket,
+    split_text_by_speaker,
+)
+from fish_speech_tpu.models import dual_ar
+
+
+def test_split_text_by_speaker():
+    text = "<|speaker:0|>hello there<|speaker:1|>hi!"
+    turns = split_text_by_speaker(text)
+    assert turns == ["<|speaker:0|>hello there", "<|speaker:1|>hi!"]
+    assert split_text_by_speaker("no tags here") == []
+
+
+def test_group_turns_byte_budget():
+    turns = ["<|speaker:0|>" + "a" * 50, "<|speaker:1|>" + "b" * 50,
+             "<|speaker:0|>" + "c" * 50]
+    batches = group_turns_into_batches(turns, max_speakers=5, max_bytes=80)
+    assert len(batches) == 3
+    batches = group_turns_into_batches(turns, max_speakers=5, max_bytes=1000)
+    assert len(batches) == 1
+    batches = group_turns_into_batches(turns, max_speakers=2, max_bytes=1000)
+    assert len(batches) == 2
+
+
+def test_pick_bucket():
+    assert pick_bucket(10, 4096) == 64
+    assert pick_bucket(65, 4096) == 128
+    assert pick_bucket(3000, 4096) == 4096
+    with pytest.raises(ValueError):
+        pick_bucket(5000, 4096)
+
+
+@pytest.fixture(scope="module")
+def session(tokenizer):
+    cfg = dual_ar_tiny(
+        vocab_size=tokenizer.vocab_size,
+        semantic_begin_id=tokenizer.semantic_begin_id,
+        semantic_end_id=tokenizer.semantic_end_id,
+        im_end_id=tokenizer.im_end_id,
+        codebook_size=4096,
+        num_codebooks=3,
+        max_seq_len=256,
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    return GenerationSession(
+        params, cfg, SamplingConfig(), max_batch=1,
+        dtype=jnp.float32, decode_chunk_size=8,
+    )
+
+
+def test_generate_budget_and_shapes(session, tokenizer):
+    prompt = np.zeros((session.cfg.num_codebooks + 1, 12), dtype=np.int32)
+    prompt[0] = tokenizer.encode("hello hello!")
+    seq = session.generate(
+        prompt, jax.random.PRNGKey(0), max_new_tokens=20,
+        temperature=1.0, top_p=0.9, top_k=30,
+    )
+    assert seq.shape[0] == session.cfg.num_codebooks + 1
+    assert 1 <= seq.shape[1] <= 20
+    main = seq[0]
+    sb, se = session.cfg.semantic_begin_id, session.cfg.semantic_end_id
+    ok = ((main >= sb) & (main <= se)) | (main == session.cfg.im_end_id)
+    assert ok.all(), "constrained decoding emitted an out-of-range token"
+    # codebook rows within range
+    assert (seq[1:] >= 0).all()
+    assert (seq[1:] < session.cfg.codebook_size).all()
+
+
+def test_generate_deterministic_given_key(session, tokenizer):
+    prompt = np.zeros((session.cfg.num_codebooks + 1, 8), dtype=np.int32)
+    prompt[0] = tokenizer.encode("abcdefgh")
+    s1 = session.generate(prompt, jax.random.PRNGKey(7), max_new_tokens=10)
+    s2 = session.generate(prompt, jax.random.PRNGKey(7), max_new_tokens=10)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_generate_long_yields_codes(session, tokenizer):
+    responses = list(
+        generate_long(
+            session=session,
+            tokenizer=tokenizer,
+            text="short test",
+            max_new_tokens=12,
+            chunk_length=300,
+        )
+    )
+    assert responses[-1].action == "next"
+    samples = [r for r in responses if r.action == "sample"]
+    assert len(samples) == 1
+    codes = samples[0].codes
+    assert codes.shape[0] == session.cfg.num_codebooks
+    assert (codes >= 0).all()
+
+
+def test_generate_long_voice_clone_prompt(session, tokenizer):
+    ref_codes = np.random.default_rng(0).integers(
+        0, 64, size=(session.cfg.num_codebooks, 6)
+    ).astype(np.int32)
+    responses = list(
+        generate_long(
+            session=session,
+            tokenizer=tokenizer,
+            text="cloned voice",
+            max_new_tokens=8,
+            prompt_text="reference text",
+            prompt_tokens=ref_codes,
+        )
+    )
+    samples = [r for r in responses if r.action == "sample"]
+    assert len(samples) == 1
