@@ -1,0 +1,163 @@
+"""Streaming TTS inference engine: request -> audio segments.
+
+Orchestrates reference loading, LM generation and codec decoding, yielding
+header/segment/final/error results (reference
+`fish_speech/inference_engine/__init__.py`).
+
+TPU-first difference: there is no model-owner thread + queue pair
+(`inference.py:748-799`) — the jitted step functions are pure and the
+engine serializes device access with a plain lock. Segment codec-decode is
+batched per generation chunk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from dataclasses import dataclass
+from typing import Generator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fish_speech_tpu.audio.io import load_audio, wav_chunk_header
+from fish_speech_tpu.config import DACConfig
+from fish_speech_tpu.engine.reference_loader import ReferenceLoader
+from fish_speech_tpu.generate import GenerationSession, generate_long
+from fish_speech_tpu.models.dac import dac_encode, dac_from_indices
+from fish_speech_tpu.tokenizer import FishTokenizer
+
+
+@dataclass
+class InferenceResult:
+    code: str  # "header" | "segment" | "error" | "final"
+    audio: Optional[Tuple[int, np.ndarray]]
+    error: Optional[Exception] = None
+
+
+@dataclass
+class TTSRequest:
+    """Mirror of the server schema (`utils/schema.py:81-107`)."""
+
+    text: str
+    chunk_length: int = 200
+    format: str = "wav"
+    references: list = dataclasses.field(default_factory=list)
+    reference_id: Optional[str] = None
+    seed: Optional[int] = None
+    use_memory_cache: str = "off"
+    normalize: bool = True
+    streaming: bool = False
+    max_new_tokens: int = 1024
+    top_p: float = 0.8
+    repetition_penalty: float = 1.1
+    temperature: float = 0.8
+    top_k: int = 30
+
+
+class TTSInferenceEngine:
+    def __init__(
+        self,
+        session: GenerationSession,
+        tokenizer: FishTokenizer,
+        codec_params,
+        codec_cfg: DACConfig,
+        references_dir: str = "references",
+    ):
+        self.session = session
+        self.tokenizer = tokenizer
+        self.codec_params = codec_params
+        self.codec_cfg = codec_cfg
+        self.references = ReferenceLoader(references_dir)
+        self.references.encode_reference = self.encode_reference
+        self.lock = threading.Lock()
+        self._decode_jit = jax.jit(
+            lambda p, c: dac_from_indices(p, self.codec_cfg, c),
+            static_argnums=(),
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        return self.codec_cfg.sample_rate
+
+    # -- codec glue (reference `vq_manager.py`) --
+
+    def encode_reference(self, audio_bytes: bytes) -> np.ndarray:
+        """Audio bytes -> (num_codebooks, T) codes."""
+        wav = load_audio(audio_bytes, self.codec_cfg.sample_rate)
+        audio = jnp.asarray(wav[None, None, :])
+        codes, lengths = dac_encode(self.codec_params, self.codec_cfg, audio)
+        return np.asarray(codes[0])[:, : int(lengths[0])]
+
+    def decode_vq_tokens(self, codes: np.ndarray) -> np.ndarray:
+        """(num_codebooks, T) codes -> (T_samples,) float waveform."""
+        audio = self._decode_jit(self.codec_params, jnp.asarray(codes[None]))
+        return np.asarray(audio[0, 0], dtype=np.float32)
+
+    # -- main entry --
+
+    def inference(self, req: TTSRequest) -> Generator[InferenceResult, None, None]:
+        prompt_tokens: List[np.ndarray] = []
+        prompt_texts: List[str] = []
+        try:
+            if req.reference_id is not None:
+                prompt_tokens, prompt_texts = self.references.load_by_id(
+                    req.reference_id, req.use_memory_cache
+                )
+            elif req.references:
+                prompt_tokens, prompt_texts = self.references.load_by_hash(
+                    req.references, req.use_memory_cache
+                )
+        except Exception as e:  # reference load failures -> error result
+            yield InferenceResult(code="error", audio=None, error=e)
+            return
+
+        if req.streaming:
+            yield InferenceResult(
+                code="header",
+                audio=(
+                    self.sample_rate,
+                    np.frombuffer(
+                        wav_chunk_header(sample_rate=self.sample_rate), dtype=np.uint8
+                    ),
+                ),
+            )
+
+        segments: List[np.ndarray] = []
+        try:
+            with self.lock:
+                for response in generate_long(
+                    session=self.session,
+                    tokenizer=self.tokenizer,
+                    text=req.text,
+                    max_new_tokens=req.max_new_tokens,
+                    top_p=req.top_p,
+                    top_k=req.top_k,
+                    temperature=req.temperature,
+                    chunk_length=req.chunk_length,
+                    prompt_text=list(prompt_texts) or None,
+                    prompt_tokens=list(prompt_tokens) or None,
+                    seed=req.seed if req.seed is not None else 42,
+                ):
+                    if response.action != "sample":
+                        continue
+                    segment = self.decode_vq_tokens(response.codes)
+                    segments.append(segment)
+                    if req.streaming:
+                        yield InferenceResult(
+                            code="segment", audio=(self.sample_rate, segment)
+                        )
+        except Exception as e:
+            yield InferenceResult(code="error", audio=None, error=e)
+            return
+
+        if not segments:
+            yield InferenceResult(
+                code="error",
+                audio=None,
+                error=RuntimeError("No audio generated, please check the input text."),
+            )
+        else:
+            audio = np.concatenate(segments, axis=0)
+            yield InferenceResult(code="final", audio=(self.sample_rate, audio))

@@ -34,7 +34,7 @@ import numpy as np
 
 from fish_speech_tpu.config import DualARConfig, GenerateConfig, SamplingConfig
 from fish_speech_tpu.models import dual_ar
-from fish_speech_tpu.ops.sampling import ras_select, sample
+from fish_speech_tpu.ops.sampling import ras_select, sample_topk, topk_state
 from fish_speech_tpu.sequence import Conversation, Message, TextPart, VQPart
 from fish_speech_tpu.tokenizer import FishTokenizer
 
@@ -65,11 +65,13 @@ def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
     b = logits.shape[0]
     keys = jax.random.split(key, 4)
 
-    idx_normal = sample(keys[0], logits, temperature, top_p, top_k)
+    # One top-k pass shared by the normal and RAS high-temperature samples.
+    state = topk_state(logits)
+    idx_normal = sample_topk(keys[0], state, temperature, top_p, top_k)
     tok_normal = dual_ar.semantic_index_to_token(cfg, idx_normal)
     if window is not None:
-        idx_high = sample(
-            keys[1], logits, scfg.ras_high_temp, scfg.ras_high_top_p, top_k
+        idx_high = sample_topk(
+            keys[1], state, scfg.ras_high_temp, scfg.ras_high_top_p, top_k
         )
         tok_high = dual_ar.semantic_index_to_token(cfg, idx_high)
         main = ras_select(
@@ -90,7 +92,7 @@ def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
         x = jnp.take(params["fast"]["embeddings"], prev_code, axis=0)
         logits_i, fc = dual_ar.fast_decode_step(params, cfg, x, fc, i)
         k, sk = jax.random.split(k)
-        code = sample(sk, logits_i, temperature, top_p, top_k)
+        code = sample_topk(sk, topk_state(logits_i), temperature, top_p, top_k)
         return (code, fc, k), code
 
     (_, _, _), rest = jax.lax.scan(
@@ -105,7 +107,7 @@ def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
     return column
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
 def prefill_step(params, cfg: DualARConfig, scfg: SamplingConfig, inp, cache,
                  lengths, key, temperature, top_p, top_k):
     """Prefill the cache from the prompt and sample the first column."""
@@ -137,7 +139,7 @@ def _decode_one(params, cfg, scfg, token, cache, pos, window, key,
     return column, cache, key
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=(5,))
 def decode_chunk(params, cfg: DualARConfig, scfg: SamplingConfig, n_steps: int,
                  token, cache, pos, window, key, temperature, top_p, top_k):
     """Run n_steps decode steps on device; host syncs once per chunk.

@@ -58,6 +58,44 @@ def sample(key, logits, temperature, top_p, top_k):
     return sample_from_probs(key, probs)
 
 
+TOP_K_CAP = 64  # static top-k width for the fast path (runtime top_k <= cap)
+
+
+def topk_state(logits, k_cap: int = TOP_K_CAP):
+    """Precompute the top-k view of logits for (multiple) fast samples.
+
+    Returns (vals (..., k) desc-sorted, idx (..., k), lse (...)).
+    Exactly equivalent to the full-sort path whenever top_k <= k_cap: every
+    rank >= k_cap is >= top_k and would be filtered anyway.
+    """
+    lf = logits.astype(jnp.float32)
+    vals, idx = jax.lax.top_k(lf, k_cap)
+    lse = jax.nn.logsumexp(lf, axis=-1)
+    return vals, idx, lse
+
+
+def sample_topk(key, state, temperature, top_p, top_k):
+    """Draw one token from a `topk_state`. Returns vocab indices (...,)."""
+    vals, idx, lse = state
+    k_cap = vals.shape[-1]
+    top_k = jnp.minimum(top_k, k_cap)
+    probs = jnp.exp(vals - lse[..., None])  # true softmax probs of top-k
+    cum = jnp.cumsum(probs, axis=-1)
+    ranks = jnp.arange(k_cap)
+    remove = (cum > top_p) | (ranks >= top_k)
+    remove = remove.at[..., 0].set(False)
+    filtered = jnp.where(remove, -jnp.inf, vals)
+    filtered = filtered / jnp.clip(temperature, 1e-5, None)
+    p = jax.nn.softmax(filtered, axis=-1)
+    u = jax.random.uniform(
+        key, p.shape, dtype=jnp.float32, minval=jnp.finfo(jnp.float32).tiny
+    )
+    choice = jnp.argmax(p / -jnp.log(u), axis=-1)
+    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(
+        jnp.int32
+    )
+
+
 def ras_select(
     token_normal,
     token_high,

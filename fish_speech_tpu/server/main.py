@@ -1,0 +1,126 @@
+"""API server entry point.
+
+    python -m fish_speech_tpu.server.main \
+        --checkpoint-path checkpoints/s2-pro-tpu \
+        --listen 127.0.0.1:8080
+
+`--tiny` starts with random tiny models (no checkpoint needed) — used for
+smoke tests and demos. Parity with `tools/api_server.py` flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+logger = logging.getLogger("fish_speech_tpu.server")
+
+
+def build_engine(args):
+    import jax
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.config import SamplingConfig, dac_tiny, dual_ar_tiny
+    from fish_speech_tpu.engine.tts import TTSInferenceEngine
+    from fish_speech_tpu.generate import GenerationSession
+    from fish_speech_tpu.models.dac import init_dac
+    from fish_speech_tpu.models.dual_ar import init_dual_ar
+    from fish_speech_tpu.tokenizer import FishTokenizer, build_test_tokenizer
+    from fish_speech_tpu.utils.checkpoint import load_dac, load_dual_ar
+
+    if args.tiny:
+        if args.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        tokenizer = build_test_tokenizer()
+        dac_cfg = dac_tiny()
+        cfg = dual_ar_tiny(
+            vocab_size=tokenizer.vocab_size,
+            semantic_begin_id=tokenizer.semantic_begin_id,
+            semantic_end_id=tokenizer.semantic_end_id,
+            im_end_id=tokenizer.im_end_id,
+            codebook_size=4096,
+            num_codebooks=dac_cfg.rvq.total_codebooks,
+        )
+        dtype = jnp.float32
+        params = init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=dtype)
+        dac_params = init_dac(jax.random.PRNGKey(1), dac_cfg, dtype=dtype)
+    else:
+        dtype = jnp.float16 if args.half else jnp.bfloat16
+        params, cfg = load_dual_ar(args.checkpoint_path, dtype=dtype)
+        tokenizer = FishTokenizer.from_pretrained(args.checkpoint_path)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            semantic_begin_id=tokenizer.semantic_begin_id,
+            semantic_end_id=tokenizer.semantic_end_id,
+            im_end_id=tokenizer.im_end_id,
+        ).resolve()
+        dac_params, dac_cfg = load_dac(
+            args.decoder_checkpoint_path or args.checkpoint_path, dtype=dtype
+        )
+
+    session = GenerationSession(
+        params, cfg, SamplingConfig(), max_batch=1, dtype=dtype,
+        decode_chunk_size=args.decode_chunk_size,
+    )
+    engine = TTSInferenceEngine(
+        session, tokenizer, dac_params, dac_cfg,
+        references_dir=args.references_dir,
+    )
+    return engine
+
+
+def warm_up(engine):
+    """Full synthesis pass at startup: triggers prefill + decode + codec
+    compiles so the first request is fast (reference
+    `model_manager.py:80-93`)."""
+    from fish_speech_tpu.engine.tts import TTSRequest
+
+    t0 = time.time()
+    for result in engine.inference(TTSRequest(text="Hello world.", max_new_tokens=32)):
+        if result.code == "error":
+            raise RuntimeError(f"Warmup failed: {result.error}")
+    logger.info("Warmup finished in %.1fs", time.time() - t0)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint-path", type=str, default="checkpoints/s2-pro-tpu")
+    parser.add_argument("--decoder-checkpoint-path", type=str, default=None)
+    parser.add_argument("--listen", type=str, default="127.0.0.1:8080")
+    parser.add_argument("--api-key", type=str, default=None)
+    parser.add_argument("--half", action="store_true")
+    parser.add_argument("--max-text-length", type=int, default=0)
+    parser.add_argument("--references-dir", type=str, default="references")
+    parser.add_argument("--decode-chunk-size", type=int, default=32)
+    parser.add_argument("--tiny", action="store_true",
+                        help="random tiny models (smoke test)")
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--no-warmup", action="store_true")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    args = parse_args(argv)
+
+    from aiohttp import web
+
+    from fish_speech_tpu.server.app import create_app
+
+    engine = build_engine(args)
+    if not args.no_warmup:
+        warm_up(engine)
+
+    app = create_app(engine, api_key=args.api_key,
+                     max_text_length=args.max_text_length)
+    host, port = args.listen.rsplit(":", 1)
+    logger.info("Serving on http://%s:%s", host, port)
+    web.run_app(app, host=host, port=int(port), print=None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""API server tests: endpoint parity, content negotiation, auth, streaming.
+
+Uses a tiny random-weight engine on CPU; aiohttp TestClient driven from sync
+tests via asyncio.run (no pytest-asyncio in the image).
+"""
+
+import asyncio
+import io
+import wave
+
+import jax
+import jax.numpy as jnp
+import msgpack
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from fish_speech_tpu.audio.io import write_wav
+from fish_speech_tpu.config import SamplingConfig, dac_tiny, dual_ar_tiny
+from fish_speech_tpu.engine.tts import TTSInferenceEngine
+from fish_speech_tpu.generate import GenerationSession
+from fish_speech_tpu.models.dac import init_dac
+from fish_speech_tpu.models.dual_ar import init_dual_ar
+from fish_speech_tpu.server.app import create_app
+
+
+@pytest.fixture(scope="module")
+def engine(tokenizer, tmp_path_factory):
+    dac_cfg = dac_tiny()
+    cfg = dual_ar_tiny(
+        vocab_size=tokenizer.vocab_size,
+        semantic_begin_id=tokenizer.semantic_begin_id,
+        semantic_end_id=tokenizer.semantic_end_id,
+        im_end_id=tokenizer.im_end_id,
+        codebook_size=4096,
+        num_codebooks=dac_cfg.rvq.total_codebooks,
+        max_seq_len=256,
+    )
+    params = init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    dac_params = init_dac(jax.random.PRNGKey(1), dac_cfg, dtype=jnp.float32)
+    session = GenerationSession(
+        params, cfg, SamplingConfig(), dtype=jnp.float32, decode_chunk_size=8
+    )
+    refs_dir = tmp_path_factory.mktemp("references")
+    return TTSInferenceEngine(
+        session, tokenizer, dac_params, dac_cfg, references_dir=str(refs_dir)
+    )
+
+
+def run_client(engine, fn, api_key=None):
+    async def go():
+        app = create_app(engine, api_key=api_key)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            return await fn(client)
+        finally:
+            await client.close()
+
+    return asyncio.run(go())
+
+
+def make_wav_bytes(n=None, sr=44100):
+    n = n or (dac_tiny().frame_length * 2)
+    x = (np.random.default_rng(0).normal(size=n) * 0.1).astype(np.float32)
+    buf = io.BytesIO()
+    pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_health(engine):
+    async def fn(client):
+        r = await client.get("/v1/health")
+        return r.status, await r.json()
+
+    status, body = run_client(engine, fn)
+    assert status == 200 and body == {"status": "ok"}
+
+
+def test_auth_rejects_without_key(engine):
+    async def fn(client):
+        r1 = await client.get("/v1/health")
+        r2 = await client.get(
+            "/v1/health", headers={"Authorization": "Bearer secret"}
+        )
+        return r1.status, r2.status
+
+    s1, s2 = run_client(engine, fn, api_key="secret")
+    assert s1 == 401 and s2 == 200
+
+
+def test_tts_json_wav(engine):
+    async def fn(client):
+        r = await client.post(
+            "/v1/tts",
+            json={"text": "hi there", "max_new_tokens": 8, "format": "wav"},
+        )
+        return r.status, await r.read(), r.content_type
+
+    status, body, ctype = run_client(engine, fn)
+    assert status == 200 and ctype == "audio/wav"
+    assert body[:4] == b"RIFF"
+    with wave.open(io.BytesIO(body)) as f:
+        assert f.getframerate() == engine.sample_rate
+        assert f.getnframes() > 0
+
+
+def test_tts_msgpack_streaming(engine):
+    async def fn(client):
+        payload = msgpack.packb(
+            {"text": "stream me", "max_new_tokens": 8, "streaming": True},
+            use_bin_type=True,
+        )
+        r = await client.post(
+            "/v1/tts",
+            data=payload,
+            headers={"Content-Type": "application/msgpack"},
+        )
+        return r.status, await r.read()
+
+    status, body = run_client(engine, fn)
+    assert status == 200
+    assert body[:4] == b"RIFF"  # streamed header then PCM
+    assert len(body) > 44
+
+
+def test_tts_rejects_streaming_nonwav(engine):
+    async def fn(client):
+        r = await client.post(
+            "/v1/tts", json={"text": "x", "streaming": True, "format": "pcm"}
+        )
+        return r.status
+
+    assert run_client(engine, fn) == 400
+
+
+def test_vqgan_encode_decode_roundtrip(engine):
+    wav_bytes = make_wav_bytes()
+
+    async def fn(client):
+        payload = msgpack.packb({"audios": [wav_bytes]}, use_bin_type=True)
+        r = await client.post(
+            "/v1/vqgan/encode",
+            data=payload,
+            headers={"Content-Type": "application/msgpack"},
+        )
+        enc = msgpack.unpackb(await r.read(), raw=False)
+        payload = msgpack.packb({"tokens": enc["tokens"]}, use_bin_type=True)
+        r2 = await client.post(
+            "/v1/vqgan/decode",
+            data=payload,
+            headers={"Content-Type": "application/msgpack"},
+        )
+        dec = msgpack.unpackb(await r2.read(), raw=False)
+        return enc, dec
+
+    enc, dec = run_client(engine, fn)
+    tokens = np.asarray(enc["tokens"][0])
+    assert tokens.shape[0] == engine.codec_cfg.rvq.total_codebooks
+    audio = np.frombuffer(dec["audios"][0], dtype=np.float16)
+    assert len(audio) == tokens.shape[1] * engine.codec_cfg.frame_length
+
+
+def test_reference_crud_and_clone(engine):
+    wav_bytes = make_wav_bytes()
+
+    async def fn(client):
+        out = {}
+        r = await client.post(
+            "/v1/references/add",
+            json={"id": "alice", "audio": _b64(wav_bytes), "text": "hello ref"},
+        )
+        out["add"] = r.status
+        r = await client.get(
+            "/v1/references/list", headers={"Accept": "application/json"}
+        )
+        out["list"] = await r.json()
+        # duplicate -> 409
+        r = await client.post(
+            "/v1/references/add",
+            json={"id": "alice", "audio": _b64(wav_bytes), "text": "x"},
+        )
+        out["dup"] = r.status
+        # synthesize with the reference
+        r = await client.post(
+            "/v1/tts",
+            json={"text": "cloned", "max_new_tokens": 8, "reference_id": "alice"},
+        )
+        out["tts"] = r.status
+        r = await client.delete("/v1/references/delete", json={"id": "alice"})
+        out["del"] = r.status
+        r = await client.get(
+            "/v1/references/list", headers={"Accept": "application/json"}
+        )
+        out["list2"] = await r.json()
+        return out
+
+    out = run_client(engine, fn)
+    assert out["add"] == 200
+    assert out["list"]["reference_ids"] == ["alice"]
+    assert out["dup"] == 409
+    assert out["tts"] == 200
+    assert out["del"] == 200
+    assert out["list2"]["reference_ids"] == []
+
+
+def test_ui_served(engine):
+    async def fn(client):
+        r = await client.get("/ui")
+        return r.status, await r.text()
+
+    status, text = run_client(engine, fn)
+    assert status == 200 and "fish-speech-tpu" in text
+
+
+def _b64(b):
+    import base64
+
+    return base64.b64encode(b).decode()
