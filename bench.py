@@ -37,6 +37,8 @@ def main():
     parser.add_argument("--chunk", type=int, default=64,
                         help="decode steps per host sync")
     parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 weight-only quantization")
     args = parser.parse_args()
 
     import jax
@@ -60,8 +62,12 @@ def main():
     dtype = jnp.bfloat16
     t0 = time.perf_counter()
     params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=dtype)
-    jax.block_until_ready(params)
     n_params = dual_ar.param_count(params)
+    if args.int8:
+        from fish_speech_tpu.ops.quant import quantize_dual_ar
+
+        params = jax.jit(quantize_dual_ar, donate_argnums=(0,))(params)
+    jax.block_until_ready(params)
     print(
         f"# init: {n_params/1e9:.2f}B params in {time.perf_counter()-t0:.1f}s "
         f"on {jax.devices()[0].platform}",

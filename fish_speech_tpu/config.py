@@ -89,6 +89,10 @@ class DualARConfig:
     use_gradient_checkpointing: bool = True
     initializer_range: float = 0.02
 
+    # LoRA runtime scale (alpha / r); 0.0 = no LoRA paths active. Static so
+    # jitted programs specialize (no branch cost when disabled).
+    lora_scale: float = 0.0
+
     def resolve(self) -> "DualARConfig":
         """Fill derived/None fields (the reference's `__post_init__` logic)."""
         n_local_heads = self.n_local_heads if self.n_local_heads != -1 else self.n_head

@@ -89,7 +89,7 @@ def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
 
     def fast_body(carry, i):
         prev_code, fc, k = carry
-        x = jnp.take(params["fast"]["embeddings"], prev_code, axis=0)
+        x = dual_ar.fast_embed(params, cfg, prev_code)
         logits_i, fc = dual_ar.fast_decode_step(params, cfg, x, fc, i)
         k, sk = jax.random.split(k)
         code = sample_topk(sk, topk_state(logits_i), temperature, top_p, top_k)

@@ -45,6 +45,7 @@ from jax import lax
 from fish_speech_tpu.config import DualARConfig
 from fish_speech_tpu.ops.attention import NEG_INF, gqa_attention
 from fish_speech_tpu.ops.norms import rms_norm
+from fish_speech_tpu.ops.quant import mm
 from fish_speech_tpu.ops.rope import apply_rope, precompute_rope
 
 # ---------------------------------------------------------------------------
@@ -161,14 +162,22 @@ def embed_tokens(params, cfg: DualARConfig, inp):
     """
     codes = inp[:, 1:, :]  # (B, C, T)
     offsets = (jnp.arange(cfg.num_codebooks) * cfg.codebook_size)[None, :, None]
-    cb = jnp.take(params["codebook_embeddings"], codes + offsets, axis=0)
+    cb_idx = codes + offsets
+    cb = jnp.take(params["codebook_embeddings"], cb_idx, axis=0)
+    if "lora_codebook_embeddings" in params:
+        la = params["lora_codebook_embeddings"]
+        cb = cb + cfg.lora_scale * (jnp.take(la["a"], cb_idx, axis=0) @ la["b"])
     vq_sum = cb.sum(axis=1)  # (B, T, D)
 
     main = inp[:, 0, :]
     is_semantic = (main >= cfg.semantic_begin_id) & (main <= cfg.semantic_end_id)
     vq_sum = jnp.where(is_semantic[..., None], vq_sum, 0)
 
-    x = jnp.take(params["embeddings"], main, axis=0) + vq_sum
+    x = jnp.take(params["embeddings"], main, axis=0)
+    if "lora_embeddings" in params:
+        la = params["lora_embeddings"]
+        x = x + cfg.lora_scale * (jnp.take(la["a"], main, axis=0) @ la["b"])
+    x = x + vq_sum
     if cfg.scale_codebook_embeddings:
         scale = 1.0 / math.sqrt(cfg.num_codebooks + 1)
         x = jnp.where(is_semantic[..., None], x * scale, x)
@@ -180,10 +189,18 @@ def embed_tokens(params, cfg: DualARConfig, inp):
 # ---------------------------------------------------------------------------
 
 
+def _lora_delta(lp, name, x, scale):
+    """Low-rank delta `scale * (x @ A) @ B` when this weight has LoRA."""
+    lora = lp.get("lora")
+    if isinstance(lora, dict) and name in lora:
+        return scale * ((x @ lora[name]["a"]) @ lora[name]["b"])
+    return 0
+
+
 def _qkv(lp, spec, h):
     """Project + split + per-head norm + shape. Returns q,k,v (B,T,H*,Dh)."""
-    n_head, n_kv, head_dim, eps = spec
-    qkv = h @ lp["wqkv"]
+    n_head, n_kv, head_dim, eps, lora_scale = spec
+    qkv = mm(h, lp["wqkv"]) + _lora_delta(lp, "wqkv", h, lora_scale)
     if "bqkv" in lp:
         qkv = qkv + lp["bqkv"]
     b, t, _ = qkv.shape
@@ -198,6 +215,23 @@ def _qkv(lp, spec, h):
     return q, k, v
 
 
+def _attn_out(lp, spec, y):
+    """Output projection with optional bias/LoRA. y: (B, T, H*Dh)."""
+    lora_scale = spec[4]
+    out = mm(y, lp["wo"]) + _lora_delta(lp, "wo", y, lora_scale)
+    if "bo" in lp:
+        out = out + lp["bo"]
+    return out
+
+
+def _ffn(lp, spec, h2):
+    lora_scale = spec[4]
+    u1 = mm(h2, lp["w1"]) + _lora_delta(lp, "w1", h2, lora_scale)
+    u3 = mm(h2, lp["w3"]) + _lora_delta(lp, "w3", h2, lora_scale)
+    g = jax.nn.silu(u1) * u3
+    return mm(g, lp["w2"]) + _lora_delta(lp, "w2", g, lora_scale)
+
+
 def _block_train(lp, spec, x, freqs, mask, eps):
     """One pre-norm block, self-attention over x itself (no cache)."""
     h = rms_norm(x, lp["attn_norm"], eps)
@@ -206,19 +240,15 @@ def _block_train(lp, spec, x, freqs, mask, eps):
     k = apply_rope(k, freqs)
     y = gqa_attention(q, k, v, mask)
     b, t = y.shape[:2]
-    y = y.reshape(b, t, -1) @ lp["wo"]
-    if "bo" in lp:
-        y = y + lp["bo"]
-    x = x + y
+    x = x + _attn_out(lp, spec, y.reshape(b, t, -1))
     h2 = rms_norm(x, lp["ffn_norm"], eps)
-    ffn = (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
-    return x + ffn
+    return x + _ffn(lp, spec, h2)
 
 
 def _block_decode(lp, spec, x, freqs, kc, vc, pos, kv_mask):
     """One block in decode mode: write fresh K/V into the cache at `pos`,
     attend over the full cache under `kv_mask` (True = visible)."""
-    n_head, n_kv, head_dim, eps = spec
+    n_head, n_kv, head_dim, eps, _ = spec
     h = rms_norm(x, lp["attn_norm"], eps)
     q, k, v = _qkv(lp, spec, h)
     q = apply_rope(q, freqs)
@@ -227,13 +257,9 @@ def _block_decode(lp, spec, x, freqs, kc, vc, pos, kv_mask):
     vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, pos, 0, 0))
     y = gqa_attention(q, kc, vc, kv_mask)
     b, t = y.shape[:2]
-    y = y.reshape(b, t, -1) @ lp["wo"]
-    if "bo" in lp:
-        y = y + lp["bo"]
-    x = x + y
+    x = x + _attn_out(lp, spec, y.reshape(b, t, -1))
     h2 = rms_norm(x, lp["ffn_norm"], eps)
-    ffn = (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
-    return x + ffn, kc, vc
+    return x + _ffn(lp, spec, h2), kc, vc
 
 
 def _run_stack_train(layers, spec, x, freqs, mask, eps, remat=False):
@@ -257,11 +283,13 @@ def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask):
 
 
 def _slow_spec(cfg: DualARConfig):
-    return (cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps)
+    return (cfg.n_head, cfg.n_local_heads, cfg.head_dim, cfg.norm_eps,
+            cfg.lora_scale)
 
 
 def _fast_spec(cfg: DualARConfig):
-    return (cfg.fast_n_head, cfg.fast_n_local_heads, cfg.fast_head_dim, cfg.norm_eps)
+    return (cfg.fast_n_head, cfg.fast_n_local_heads, cfg.fast_head_dim,
+            cfg.norm_eps, cfg.lora_scale)
 
 
 # ---------------------------------------------------------------------------
@@ -327,10 +355,18 @@ def forward_train(
 
 def _lm_head(params, cfg: DualARConfig, slow_out):
     if cfg.tie_word_embeddings:
-        w = params["embeddings"].T
+        logits = slow_out @ params["embeddings"].T
+        if "lora_embeddings" in params:
+            la = params["lora_embeddings"]
+            logits = logits + cfg.lora_scale * (
+                (slow_out @ la["b"].T) @ la["a"].T
+            )
     else:
-        w = params["output"]
-    return (slow_out @ w).astype(jnp.float32)
+        logits = mm(slow_out, params["output"])
+        if "lora_output" in params:
+            la = params["lora_output"]
+            logits = logits + cfg.lora_scale * ((slow_out @ la["a"]) @ la["b"])
+    return logits.astype(jnp.float32)
 
 
 def fast_project_in(params, cfg: DualARConfig, hidden):
@@ -338,6 +374,23 @@ def fast_project_in(params, cfg: DualARConfig, hidden):
         p = params["fast"]["project_in"]
         return hidden @ p["w"] + p["b"]
     return hidden
+
+
+def fast_embed(params, cfg: DualARConfig, codes):
+    """Fast-codebook embedding lookup with optional LoRA."""
+    emb = jnp.take(params["fast"]["embeddings"], codes, axis=0)
+    if "lora_embeddings" in params["fast"]:
+        la = params["fast"]["lora_embeddings"]
+        emb = emb + cfg.lora_scale * (jnp.take(la["a"], codes, axis=0) @ la["b"])
+    return emb
+
+
+def _fast_head(params, cfg: DualARConfig, out):
+    logits = mm(out, params["fast"]["output"])
+    if "lora_output" in params["fast"]:
+        la = params["fast"]["lora_output"]
+        logits = logits + cfg.lora_scale * ((out @ la["a"]) @ la["b"])
+    return logits.astype(jnp.float32)
 
 
 def fast_forward_train(params, cfg: DualARConfig, hidden, codebooks, remat=False):
@@ -350,7 +403,7 @@ def fast_forward_train(params, cfg: DualARConfig, hidden, codebooks, remat=False
     """
     cfg = cfg.resolve()
     x0 = fast_project_in(params, cfg, hidden)
-    emb = jnp.take(params["fast"]["embeddings"], codebooks, axis=0)
+    emb = fast_embed(params, cfg, codebooks)
     x = jnp.concatenate([x0[:, None, :].astype(emb.dtype), emb], axis=1)  # (N, C, Df)
 
     c = cfg.num_codebooks
@@ -361,7 +414,7 @@ def fast_forward_train(params, cfg: DualARConfig, hidden, codebooks, remat=False
         params["fast"]["layers"], _fast_spec(cfg), x, freqs, mask, cfg.norm_eps, remat
     )
     out = rms_norm(x, params["fast"]["norm"], cfg.norm_eps)
-    return (out @ params["fast"]["output"]).astype(jnp.float32)
+    return _fast_head(params, cfg, out)
 
 
 # ---------------------------------------------------------------------------
@@ -403,13 +456,9 @@ def prefill(params, cfg: DualARConfig, inp, cache, lengths):
         kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
         vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
         y = gqa_attention(q, k, v, mask)
-        y = y.reshape(b, t, -1) @ lp["wo"]
-        if "bo" in lp:
-            y = y + lp["bo"]
-        carry = carry + y
+        carry = carry + _attn_out(lp, spec, y.reshape(b, t, -1))
         h2 = rms_norm(carry, lp["ffn_norm"], cfg.norm_eps)
-        ffn = (jax.nn.silu(h2 @ lp["w1"]) * (h2 @ lp["w3"])) @ lp["w2"]
-        return carry + ffn, (kc, vc)
+        return carry + _ffn(lp, spec, h2), (kc, vc)
 
     x, (k_new, v_new) = lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
     cache = {"k": k_new, "v": v_new}
@@ -462,11 +511,36 @@ def semantic_head_logits(params, cfg: DualARConfig, slow_out):
     if cfg.tie_word_embeddings:
         w_sem = params["embeddings"][sb : se + 1].T  # (D, S)
         w_end = params["embeddings"][cfg.im_end_id][:, None]  # (D, 1)
+        logits = slow_out @ jnp.concatenate([w_sem, w_end], axis=1)
     else:
-        w_sem = params["output"][:, sb : se + 1]
-        w_end = params["output"][:, cfg.im_end_id][:, None]
-    w = jnp.concatenate([w_sem, w_end], axis=1)
-    return (slow_out @ w).astype(jnp.float32)  # (B, S+1)
+        out_w = params["output"]
+        if isinstance(out_w, dict) and "q" in out_w:  # int8-quantized head
+            q = jnp.concatenate(
+                [out_w["q"][:, sb : se + 1], out_w["q"][:, cfg.im_end_id][:, None]],
+                axis=1,
+            )
+            s = jnp.concatenate(
+                [out_w["s"][sb : se + 1], out_w["s"][cfg.im_end_id][None]], axis=0
+            )
+            logits = (slow_out @ q.astype(slow_out.dtype)) * s.astype(slow_out.dtype)
+        else:
+            w_sem = out_w[:, sb : se + 1]
+            w_end = out_w[:, cfg.im_end_id][:, None]
+            logits = slow_out @ jnp.concatenate([w_sem, w_end], axis=1)
+    la = params.get("lora_embeddings" if cfg.tie_word_embeddings else "lora_output")
+    if la is not None:
+        if cfg.tie_word_embeddings:
+            # effective rows = (W + s*A@B)[rows]; delta = (x @ B.T) @ A[rows].T
+            a_rows = jnp.concatenate(
+                [la["a"][sb : se + 1], la["a"][cfg.im_end_id][None]], axis=0
+            )
+            logits = logits + cfg.lora_scale * ((slow_out @ la["b"].T) @ a_rows.T)
+        else:
+            b_cols = jnp.concatenate(
+                [la["b"][:, sb : se + 1], la["b"][:, cfg.im_end_id][:, None]], axis=1
+            )
+            logits = logits + cfg.lora_scale * ((slow_out @ la["a"]) @ b_cols)
+    return logits.astype(jnp.float32)  # (B, S+1)
 
 
 def semantic_index_to_token(cfg: DualARConfig, idx):
@@ -496,5 +570,4 @@ def fast_decode_step(params, cfg: DualARConfig, x, fast_cache, pos):
         fast_cache, pos, kv_mask,
     )
     out = rms_norm(y[:, 0], params["fast"]["norm"], cfg.norm_eps)
-    logits = (out @ params["fast"]["output"]).astype(jnp.float32)
-    return logits, fast_cache
+    return _fast_head(params, cfg, out), fast_cache

@@ -81,6 +81,13 @@ def make_train_step(cfg: DualARConfig, optimizer, trainable_filter=None):
             )
         grads_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        if trainable_filter is not None:
+            # adamw's decoupled weight decay would otherwise still move
+            # frozen params (decay is grad-independent)
+            updates = jax.tree_util.tree_map(
+                lambda u, t: u if t else jnp.zeros_like(u), updates,
+                trainable_filter,
+            )
         params = optax.apply_updates(params, updates)
         metrics = dict(metrics)
         metrics["grad_norm"] = grads_norm

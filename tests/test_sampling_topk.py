@@ -50,8 +50,9 @@ def test_sample_topk_returns_valid_indices():
 
 
 def test_sample_topk_greedy_at_low_temp():
-    logits = jnp.asarray(np.linspace(0, 3, 100, dtype=np.float32))
-    state = topk_state(logits)
+    logits = np.zeros(100, dtype=np.float32)
+    logits[42] = 8.0  # decisive gap: 8/0.01 = 800 nats at temperature 0.01
+    state = topk_state(jnp.asarray(logits))
     for i in range(5):
         k = jax.random.PRNGKey(i)
-        assert int(sample_topk(k, state, 0.01, 1.0, 10)) == 99
+        assert int(sample_topk(k, state, 0.01, 1.0, 10)) == 42
