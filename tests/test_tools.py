@@ -1,0 +1,116 @@
+"""CLI tool smoke tests (tiny models, CliRunner)."""
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from fish_speech_tpu.audio.io import write_wav
+from fish_speech_tpu.config import dac_tiny
+
+
+@pytest.fixture()
+def audio_tree(tmp_path):
+    """A little speaker-folder tree with wavs + .lab transcripts."""
+    cfg = dac_tiny()
+    rng = np.random.default_rng(0)
+    for spk in ("alice", "bob"):
+        d = tmp_path / spk
+        d.mkdir()
+        for i in range(2):
+            wav = rng.normal(size=cfg.frame_length * 2).astype(np.float32) * 0.1
+            write_wav(d / f"{i}.wav", wav, cfg.sample_rate)
+            (d / f"{i}.lab").write_text(f"{spk} sentence {i}")
+    return tmp_path
+
+
+def test_extract_vq_and_build_dataset(audio_tree):
+    from fish_speech_tpu.tools.build_dataset import main as build_main
+    from fish_speech_tpu.tools.extract_vq import main as extract_main
+
+    runner = CliRunner()
+    r = runner.invoke(
+        extract_main,
+        [str(audio_tree), "--tiny", "--batch-size", "2", "--max-seconds", "1"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0
+    npys = list(audio_tree.rglob("*.npy"))
+    assert len(npys) == 4
+    codes = np.load(npys[0])
+    assert codes.shape[0] == dac_tiny().rvq.total_codebooks
+
+    out = audio_tree / "protos"
+    r = runner.invoke(
+        build_main,
+        ["--input", str(audio_tree), "--output", str(out)],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0
+    shards = list(out.glob("*.protos"))
+    assert shards
+
+    # the shards feed the dataset
+    from fish_speech_tpu.data.stream import read_pb_stream
+
+    groups = []
+    for s in shards:
+        with open(s, "rb") as f:
+            groups.extend(read_pb_stream(f))
+    assert {g.name for g in groups} == {"alice", "bob"}
+    assert all(len(g.sentences) == 2 for g in groups)
+
+
+def test_create_train_split(audio_tree):
+    from fish_speech_tpu.tools.create_train_split import main
+
+    runner = CliRunner()
+    r = runner.invoke(
+        main, [str(audio_tree), "--val-count", "1", "--filter-transcribed"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0
+    train = (audio_tree / "vq_train_filelist.txt").read_text().splitlines()
+    val = (audio_tree / "vq_val_filelist.txt").read_text().splitlines()
+    assert len(val) == 1 and len(train) == 3
+
+
+def test_tts_cli_tiny(tmp_path):
+    from fish_speech_tpu.tools.tts import main
+
+    runner = CliRunner()
+    out = tmp_path / "out.wav"
+    r = runner.invoke(
+        main,
+        ["--tiny", "--cpu", "--text", "hi", "--max-new-tokens", "6",
+         "--output", str(out), "--output-dir", str(tmp_path)],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0
+    assert out.exists()
+    assert (tmp_path / "codes_0.npy").exists()
+    codes = np.load(tmp_path / "codes_0.npy")
+    assert codes.shape[0] == dac_tiny().rvq.total_codebooks
+
+
+def test_quantize_cli(tmp_path, tokenizer):
+    import jax
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.config import dual_ar_tiny
+    from fish_speech_tpu.models.dual_ar import init_dual_ar
+    from fish_speech_tpu.tools.quantize import main
+    from fish_speech_tpu.utils.checkpoint import load_dual_ar, save_dual_ar
+
+    cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=331, im_end_id=3)
+    params = init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    src = tmp_path / "ckpt"
+    save_dual_ar(src, params, cfg, tokenizer)
+
+    runner = CliRunner()
+    r = runner.invoke(main, ["--checkpoint-path", str(src)],
+                      catch_exceptions=False)
+    assert r.exit_code == 0
+    qdir = tmp_path / "ckpt-int8"
+    qparams, qcfg = load_dual_ar(qdir, dtype=None)
+    assert qcfg == cfg
+    assert qparams["layers"]["wqkv"]["q"].dtype == jnp.int8
