@@ -38,8 +38,14 @@ def main():
                         help="decode steps per host sync")
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--int8", action="store_true",
-                        help="int8 weight-only quantization")
+                        help="shorthand for --quant int8")
+    parser.add_argument("--quant", choices=["none", "int8", "int4", "mixed"],
+                        default="none",
+                        help="weight quantization; mixed = slow int8 + fast "
+                             "int4 (fast weights are re-read 10x per frame)")
     args = parser.parse_args()
+    if args.int8 and args.quant == "none":
+        args.quant = "int8"
 
     import jax
     import jax.numpy as jnp
@@ -63,10 +69,13 @@ def main():
     t0 = time.perf_counter()
     params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=dtype)
     n_params = dual_ar.param_count(params)
-    if args.int8:
-        from fish_speech_tpu.ops.quant import quantize_dual_ar
+    if args.quant != "none":
+        from fish_speech_tpu.ops.quant import quantize_dual_ar_lowmem
 
-        params = jax.jit(quantize_dual_ar, donate_argnums=(0,))(params)
+        if args.quant == "mixed":
+            params = quantize_dual_ar_lowmem(params, mode="int8", fast_mode="int4")
+        else:
+            params = quantize_dual_ar_lowmem(params, mode=args.quant)
     jax.block_until_ready(params)
     print(
         f"# init: {n_params/1e9:.2f}B params in {time.perf_counter()-t0:.1f}s "
@@ -85,6 +94,15 @@ def main():
     prompt[0] = rng.integers(10, 1000, size=args.prompt_len)
 
     def run(n_steps, key):
+        if args.batch > 1:
+            prompts = [prompt] * args.batch
+            outs = session.generate_batch(
+                prompts, key, max_new_tokens=n_steps,
+                temperature=0.8, top_p=0.8, top_k=30,
+            )
+            # aggregate frames across streams, shaped like single output
+            total = sum(o.shape[1] for o in outs)
+            return np.zeros((prompt.shape[0], total), dtype=np.int32)
         return session.generate(
             prompt, key, max_new_tokens=n_steps,
             temperature=0.8, top_p=0.8, top_k=30,

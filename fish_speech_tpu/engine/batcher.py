@@ -1,0 +1,248 @@
+"""Continuous batching: a fixed pool of decode slots shared by concurrent
+requests. The reference never solved this in-repo (its server is strictly
+batch-1 behind a queue, `inference.py:748-799`; continuous batching was
+delegated to external SGLang). Here it is first-class:
+
+  * a worker thread owns the device state: a pooled KV cache
+    (L, POOL, S, Hkv, Dh) plus per-slot host state;
+  * new requests prefill into a scratch cache (bucketed compile) and are
+    inserted into a free slot between decode chunks;
+  * every iteration runs one jitted `decode_chunk_multi` over the whole
+    pool — each slot has its own position, RNG key, RAS window and sampling
+    params; inactive slots are frozen lanes;
+  * each generated chunk's columns are routed to per-request queues
+    (streaming-friendly);
+  * a slot retires on its own im_end or its token budget.
+
+Single-stream latency cost: decode shares weight reads with all active
+slots, so per-stream latency degrades only marginally while aggregate
+throughput scales ~linearly until compute binds (the decode is
+HBM-bandwidth-bound).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fish_speech_tpu.config import DualARConfig, SamplingConfig
+from fish_speech_tpu.generate import (
+    decode_chunk_multi,
+    pick_bucket,
+    prefill_single_into_pool,
+)
+from fish_speech_tpu.models import dual_ar
+
+
+@dataclass
+class _Slot:
+    active: bool = False
+    request: Optional["BatchRequest"] = None
+    pos: int = 0
+    budget_left: int = 0
+
+
+@dataclass
+class BatchRequest:
+    prompt: np.ndarray  # (C+1, T)
+    max_new_tokens: int = 0
+    temperature: float = 0.8
+    top_p: float = 0.8
+    top_k: int = 30
+    seed: int = 42
+    # output stream: np arrays of shape (n, C+1) per chunk, then None
+    out: "queue.Queue" = field(default_factory=queue.Queue)
+
+
+class BatcherSession:
+    """GenerationSession-compatible facade over a ContinuousBatcher, so the
+    TTS engine / generate_long drive the shared decode pool unchanged.
+    `concurrent = True` tells the engine not to serialize requests."""
+
+    concurrent = True
+
+    def __init__(self, batcher: "ContinuousBatcher"):
+        self.batcher = batcher
+        self.cfg = batcher.cfg
+        self.scfg = batcher.scfg
+
+    def generate(self, prompt, key, max_new_tokens=0, temperature=1.0,
+                 top_p=0.9, top_k=30):
+        k = np.asarray(key).reshape(-1)
+        seed = int(k[0] ^ (k[-1] << 1)) & 0x7FFFFFFF
+        return self.batcher.generate(
+            prompt, max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, top_k=top_k, seed=seed,
+        )
+
+
+class ContinuousBatcher:
+    def __init__(self, params, cfg: DualARConfig, scfg: SamplingConfig = None,
+                 pool_size: int = 4, dtype=jnp.bfloat16,
+                 decode_chunk_size: int = 16, idle_sleep: float = 0.002):
+        self.params = params
+        self.cfg = cfg.resolve()
+        self.scfg = scfg or SamplingConfig()
+        self.dtype = dtype
+        self.pool_size = pool_size
+        self.chunk = decode_chunk_size
+        self.idle_sleep = idle_sleep
+        self.cache_len = self.cfg.max_seq_len + decode_chunk_size
+
+        b = pool_size
+        self.pool = dual_ar.init_kv_cache(self.cfg, b, self.cache_len, dtype)
+        self._scratch = {}  # per-bucket single-seq prefill caches
+        self.token = jnp.zeros((b, self.cfg.num_codebooks + 1), jnp.int32)
+        self.pos = jnp.zeros((b,), jnp.int32)
+        self.window = jnp.zeros((b, self.scfg.ras_win_size), jnp.int32)
+        self.keys = jnp.zeros((b, 2), jnp.uint32)
+        self.active = jnp.zeros((b,), bool)
+        self.temperature = jnp.full((b,), 0.8, jnp.float32)
+        self.top_p = jnp.full((b,), 0.8, jnp.float32)
+        self.top_k = jnp.full((b,), 30, jnp.int32)
+
+        self.slots: List[_Slot] = [_Slot() for _ in range(b)]
+        self.pending: "queue.Queue[BatchRequest]" = queue.Queue()
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    # -- public api --
+
+    def submit(self, request: BatchRequest) -> "queue.Queue":
+        """Queue a request; returns its output queue ((n, C+1) arrays,
+        terminated by None)."""
+        self.pending.put(request)
+        self._wake.set()
+        return request.out
+
+    def generate(self, prompt: np.ndarray, **kw) -> np.ndarray:
+        """Blocking convenience wrapper -> (C+1, N) columns incl. im_end."""
+        req = BatchRequest(prompt=prompt, **kw)
+        out = self.submit(req)
+        chunks = []
+        while True:
+            item = out.get()
+            if item is None:
+                break
+            chunks.append(item)
+        if not chunks:
+            return np.zeros((self.cfg.num_codebooks + 1, 0), np.int32)
+        return np.concatenate(chunks, axis=0).T
+
+    def shutdown(self):
+        self._stop.set()
+        self._wake.set()
+        self.thread.join(timeout=10)
+
+    # -- worker --
+
+    def _admit(self):
+        admitted = False
+        while not self.pending.empty():
+            free = [i for i, s in enumerate(self.slots) if not s.active]
+            if not free:
+                break
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            slot = free[0]
+            self._prefill_into(slot, req)
+            admitted = True
+        return admitted
+
+    def _prefill_into(self, slot: int, req: BatchRequest):
+        cfg, scfg = self.cfg, self.scfg
+        t = req.prompt.shape[1]
+        if t >= cfg.max_seq_len:
+            req.out.put(None)
+            return
+        bucket = pick_bucket(t, self.cache_len)
+        if bucket not in self._scratch:
+            self._scratch[bucket] = dual_ar.init_kv_cache(
+                cfg, 1, self.cache_len, self.dtype
+            )
+        inp = np.zeros((1, cfg.num_codebooks + 1, bucket), np.int32)
+        inp[0, :, :t] = req.prompt
+        key = jax.random.PRNGKey(req.seed)
+        key, pk = jax.random.split(key)
+
+        column, self.pool, self._scratch[bucket] = prefill_single_into_pool(
+            self.params, cfg, scfg, jnp.asarray(inp), self.pool,
+            self._scratch[bucket], jnp.int32(slot), jnp.int32(t), pk,
+            jnp.float32(req.temperature), jnp.float32(req.top_p),
+            jnp.int32(req.top_k),
+        )
+        col = np.asarray(column)  # (1, C+1)
+        req.out.put(col)  # first frame
+
+        budget = (
+            req.max_new_tokens
+            if req.max_new_tokens and t + req.max_new_tokens <= cfg.max_seq_len
+            else cfg.max_seq_len - t
+        )
+        s = self.slots[slot]
+        if int(col[0, 0]) == cfg.im_end_id or budget <= 1:
+            req.out.put(None)
+            return
+        s.active = True
+        s.request = req
+        s.pos = t
+        s.budget_left = budget - 1
+
+        # device state updates for this slot
+        self.token = self.token.at[slot].set(column[0])
+        self.pos = self.pos.at[slot].set(t)
+        self.window = self.window.at[slot].set(0)
+        self.keys = self.keys.at[slot].set(key)  # legacy uint32[2] key
+        self.active = self.active.at[slot].set(True)
+        self.temperature = self.temperature.at[slot].set(req.temperature)
+        self.top_p = self.top_p.at[slot].set(req.top_p)
+        self.top_k = self.top_k.at[slot].set(req.top_k)
+
+    def _loop(self):
+        cfg = self.cfg
+        while not self._stop.is_set():
+            self._admit()
+            if not any(s.active for s in self.slots):
+                self._wake.wait(timeout=0.1)
+                self._wake.clear()
+                continue
+
+            (cols, self.token, self.pool, self.pos, self.window, self.keys,
+             self.active) = decode_chunk_multi(
+                self.params, cfg, self.scfg, self.chunk, self.token,
+                self.pool, self.pos, self.window, self.keys, self.active,
+                self.temperature, self.top_p, self.top_k,
+            )
+            cols_np = np.asarray(cols)  # (n, B, C+1)
+            still_active = np.asarray(self.active)
+
+            for i, s in enumerate(self.slots):
+                if not s.active:
+                    continue
+                slot_cols = cols_np[:, i]  # (n, C+1)
+                ends = np.nonzero(slot_cols[:, 0] == cfg.im_end_id)[0]
+                n_emit = min(
+                    int(ends[0]) + 1 if len(ends) else self.chunk,
+                    s.budget_left,
+                )
+                if n_emit > 0:
+                    s.request.out.put(slot_cols[:n_emit])
+                s.budget_left -= self.chunk
+                finished = len(ends) > 0 or s.budget_left <= 0 or not bool(
+                    still_active[i]
+                )
+                if finished:
+                    s.request.out.put(None)
+                    s.active = False
+                    s.request = None
+                    self.active = self.active.at[i].set(False)

@@ -29,6 +29,14 @@ from fish_speech_tpu.models.dac import dac_encode, dac_from_indices
 from fish_speech_tpu.tokenizer import FishTokenizer
 
 
+class _NullLock:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
 @dataclass
 class InferenceResult:
     code: str  # "header" | "segment" | "error" | "final"
@@ -125,8 +133,13 @@ class TTSInferenceEngine:
             )
 
         segments: List[np.ndarray] = []
+        # A continuous-batching session handles concurrency itself; only
+        # serialize access for single-stream sessions.
+        lock = (
+            _NullLock() if getattr(self.session, "concurrent", False) else self.lock
+        )
         try:
-            with self.lock:
+            with lock:
                 for response in generate_long(
                     session=self.session,
                     tokenizer=self.tokenizer,

@@ -109,9 +109,11 @@ def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
 def prefill_step(params, cfg: DualARConfig, scfg: SamplingConfig, inp, cache,
-                 lengths, key, temperature, top_p, top_k):
+                 offsets, t_end, key, temperature, top_p, top_k):
     """Prefill the cache from the prompt and sample the first column."""
-    logits_full, hidden, cache = dual_ar.prefill(params, cfg, inp, cache, lengths)
+    logits_full, hidden, cache = dual_ar.prefill(
+        params, cfg, inp, cache, offsets, t_end
+    )
     # Use the restricted head for sampling (recompute from slow_out).
     # `prefill` already returns hidden == slow_out when norm_fastlayer_input;
     # recover slow_out for the head in either case.
@@ -129,8 +131,10 @@ def prefill_step(params, cfg: DualARConfig, scfg: SamplingConfig, inp, cache,
 
 
 def _decode_one(params, cfg, scfg, token, cache, pos, window, key,
-                temperature, top_p, top_k):
-    hidden, slow_out, cache = dual_ar.decode_slow_step(params, cfg, token, cache, pos)
+                temperature, top_p, top_k, kv_valid=None):
+    hidden, slow_out, cache = dual_ar.decode_slow_step(
+        params, cfg, token, cache, pos, kv_valid=kv_valid
+    )
     logits = dual_ar.semantic_head_logits(params, cfg, slow_out)
     key, sk = jax.random.split(key)
     column = _sample_column(
@@ -141,7 +145,8 @@ def _decode_one(params, cfg, scfg, token, cache, pos, window, key,
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=(5,))
 def decode_chunk(params, cfg: DualARConfig, scfg: SamplingConfig, n_steps: int,
-                 token, cache, pos, window, key, temperature, top_p, top_k):
+                 token, cache, pos, window, key, temperature, top_p, top_k,
+                 kv_offsets=None):
     """Run n_steps decode steps on device; host syncs once per chunk.
 
     Returns (columns (n, B, C+1), token, cache, pos, window, key, done (B,)).
@@ -150,11 +155,13 @@ def decode_chunk(params, cfg: DualARConfig, scfg: SamplingConfig, n_steps: int,
     position 0.
     """
 
+    kv_valid = kv_offsets
+
     def body(carry, _):
         token, cache, pos, window, key = carry
         column, cache, key = _decode_one(
             params, cfg, scfg, token, cache, pos, window, key,
-            temperature, top_p, top_k,
+            temperature, top_p, top_k, kv_valid=kv_valid,
         )
         window = jnp.roll(window, -1, axis=1).at[:, -1].set(column[:, 0])
         return (column, cache, pos + 1, window, key), column
@@ -164,6 +171,118 @@ def decode_chunk(params, cfg: DualARConfig, scfg: SamplingConfig, n_steps: int,
     )
     done = jnp.any(cols[:, :, 0] == cfg.im_end_id, axis=0)
     return cols, token, cache, pos, window, key, done
+
+
+# ---------------------------------------------------------------------------
+# Continuous-batching device steps (per-row positions / keys / params)
+# ---------------------------------------------------------------------------
+
+
+def _sample_column_rows(params, cfg, scfg, logits, hidden, window, keys,
+                        temperature, top_p, top_k, active):
+    """Per-row keyed variant of _sample_column for the decode pool."""
+    from fish_speech_tpu.ops.sampling import sample_topk_rows, split_keys_rows
+
+    b = logits.shape[0]
+    ks = split_keys_rows(keys, 4)  # (B, 4, 2)
+
+    state = topk_state(logits)
+    idx_normal = sample_topk_rows(ks[:, 0], state, temperature, top_p, top_k)
+    tok_normal = dual_ar.semantic_index_to_token(cfg, idx_normal)
+    idx_high = sample_topk_rows(
+        ks[:, 1], state, scfg.ras_high_temp, scfg.ras_high_top_p, top_k
+    )
+    tok_high = dual_ar.semantic_index_to_token(cfg, idx_high)
+    main = ras_select(
+        tok_normal, tok_high, window, cfg.semantic_begin_id, cfg.semantic_end_id
+    )
+    code0 = jnp.clip(main - cfg.semantic_begin_id, 0, cfg.codebook_size - 1)
+
+    fast_cache = dual_ar.init_fast_kv_cache(cfg, b, dtype=hidden.dtype)
+    h0 = dual_ar.fast_project_in(params, cfg, hidden)
+    _, fast_cache = dual_ar.fast_decode_step(params, cfg, h0, fast_cache, 0)
+
+    def fast_body(carry, i):
+        prev_code, fc, k = carry
+        x = dual_ar.fast_embed(params, cfg, prev_code)
+        logits_i, fc = dual_ar.fast_decode_step(params, cfg, x, fc, i)
+        ksplit = split_keys_rows(k, 2)
+        code = sample_topk_rows(
+            ksplit[:, 0], topk_state(logits_i), temperature, top_p, top_k
+        )
+        return (code, fc, ksplit[:, 1]), code
+
+    (_, _, _), rest = jax.lax.scan(
+        fast_body, (code0, fast_cache, ks[:, 2]),
+        jnp.arange(1, cfg.num_codebooks),
+    )
+    column = jnp.concatenate(
+        [main[None], code0[None], rest], axis=0
+    ).T.astype(jnp.int32)
+    return column, ks[:, 3]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=(5,))
+def decode_chunk_multi(params, cfg: DualARConfig, scfg: SamplingConfig,
+                       n_steps: int, token, cache, pos, window, keys, active,
+                       temperature, top_p, top_k):
+    """Continuous-batching decode: every row advances its OWN position and
+    carries its own PRNG key and sampling params; inactive rows are frozen
+    (no KV writes, no position advance — pure wasted lanes, which is the
+    point: weight reads are shared by whoever is active).
+
+    Returns (cols (n, B, C+1), token, cache, pos, window, keys, active).
+    A row deactivates itself when it emits im_end.
+    """
+
+    def body(carry, _):
+        token, cache, pos, window, keys, active = carry
+        hidden, slow_out, cache = dual_ar.decode_slow_step_multi(
+            params, cfg, token, cache, pos, active
+        )
+        logits = dual_ar.semantic_head_logits(params, cfg, slow_out)
+        column, keys = _sample_column_rows(
+            params, cfg, scfg, logits, hidden, window, keys,
+            temperature, top_p, top_k, active,
+        )
+        emitted = jnp.where(active[:, None], column, token)
+        window = jnp.where(
+            active[:, None],
+            jnp.roll(window, -1, axis=1).at[:, -1].set(column[:, 0]),
+            window,
+        )
+        still = active & (column[:, 0] != cfg.im_end_id)
+        pos = pos + active.astype(pos.dtype)
+        token = jnp.where(active[:, None], column, token)
+        return (token, cache, pos, window, keys, still), emitted
+
+    (token, cache, pos, window, keys, active), cols = jax.lax.scan(
+        body, (token, cache, pos, window, keys, active), None, length=n_steps
+    )
+    return cols, token, cache, pos, window, keys, active
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
+def prefill_single_into_pool(params, cfg: DualARConfig, scfg: SamplingConfig,
+                             inp, pool, scratch, slot, length, key,
+                             temperature, top_p, top_k):
+    """Prefill one request (B=1) into `scratch`, then insert into pool slot.
+
+    Returns (first_column (1, C+1), pool, scratch).
+    """
+    logits_full, hidden, scratch = dual_ar.prefill(
+        params, cfg, inp, scratch, jnp.zeros((1,), jnp.int32), length
+    )
+    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
+    logits = jnp.concatenate(
+        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
+        axis=1,
+    )
+    column = _sample_column(
+        params, cfg, scfg, logits, hidden, None, key, temperature, top_p, top_k
+    )
+    pool = dual_ar.insert_cache_slot(pool, scratch, slot)
+    return column, pool, scratch
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +340,7 @@ class GenerationSession:
         bucket = pick_bucket(t, self.cache_len)
         inp = np.zeros((1, cfg.num_codebooks + 1, bucket), dtype=np.int32)
         inp[0, :, :t] = prompt
-        lengths = jnp.asarray([t], dtype=jnp.int32)
+        offsets = jnp.zeros((1,), dtype=jnp.int32)
 
         temperature = jnp.float32(temperature)
         top_p = jnp.float32(top_p)
@@ -229,8 +348,8 @@ class GenerationSession:
 
         key, pk = jax.random.split(key)
         column, self.cache = prefill_step(
-            self.params, cfg, scfg, jnp.asarray(inp), self.cache, lengths,
-            pk, temperature, top_p, top_k,
+            self.params, cfg, scfg, jnp.asarray(inp), self.cache, offsets,
+            jnp.int32(t), pk, temperature, top_p, top_k,
         )
         columns = [np.asarray(column)]  # list of (B, C+1)
         if int(column[0, 0]) == cfg.im_end_id:
@@ -261,9 +380,81 @@ class GenerationSession:
 
         return np.concatenate(columns, axis=0).T  # (C+1, N)
 
-    def generate_streaming(self, prompt, key, on_chunk, **kw):
-        """Like generate() but invokes on_chunk(columns) per decode chunk."""
-        raise NotImplementedError  # wired up by the engine in streaming mode
+    def generate_batch(
+        self,
+        prompts,  # list of (C+1, T_i) int32
+        key,
+        max_new_tokens: int = 0,
+        temperature: float = 1.0,
+        top_p: float = 0.9,
+        top_k: int = 30,
+    ):
+        """Batched generation: B prompts decode in lockstep, sharing every
+        weight read (the single-stream decode is HBM-bandwidth-bound, so
+        aggregate throughput scales nearly linearly with B until compute
+        binds). Returns a list of (C+1, N_i) arrays, each truncated at its
+        own im_end.
+        """
+        cfg, scfg = self.cfg, self.scfg
+        b = len(prompts)
+        lens = [p.shape[1] for p in prompts]
+        t_max = max(lens)
+        if t_max >= cfg.max_seq_len:
+            raise ValueError(f"Longest prompt {t_max} exceeds max_seq_len")
+        budget = (
+            max_new_tokens
+            if max_new_tokens and t_max + max_new_tokens <= cfg.max_seq_len
+            else cfg.max_seq_len - t_max
+        )
+
+        bucket = pick_bucket(t_max, self.cache_len)
+        inp = np.zeros((b, cfg.num_codebooks + 1, bucket), dtype=np.int32)
+        offsets_np = np.asarray([t_max - l for l in lens], dtype=np.int32)
+        for i, p in enumerate(prompts):
+            inp[i, :, offsets_np[i] : t_max] = p
+        offsets = jnp.asarray(offsets_np)
+
+        if self.cache["k"].shape[1] != b:
+            self.cache = dual_ar.init_kv_cache(cfg, b, self.cache_len, self.dtype)
+
+        temperature = jnp.float32(temperature)
+        top_p = jnp.float32(top_p)
+        top_k = jnp.int32(top_k)
+
+        key, pk = jax.random.split(key)
+        column, self.cache = prefill_step(
+            self.params, cfg, scfg, jnp.asarray(inp), self.cache, offsets,
+            jnp.int32(t_max), pk, temperature, top_p, top_k,
+        )
+        # Lockstep batch: prompts are LEFT-aligned to a common end (t_max),
+        # so RoPE relative distances stay exact within each row; the per-row
+        # pad region [0, offsets[i]) is masked out of decode attention.
+        columns = [np.asarray(column)]  # (B, C+1) each
+        token = column
+        pos = jnp.int32(t_max)
+        window = jnp.zeros((b, scfg.ras_win_size), jnp.int32)
+        done = np.asarray(column[:, 0] == cfg.im_end_id)
+
+        steps_left = budget - 1
+        while steps_left > 0 and not done.all():
+            cols, token, self.cache, pos, window, key, _ = decode_chunk(
+                self.params, cfg, scfg, int(self.decode_chunk_size), token,
+                self.cache, pos, window, key, temperature, top_p, top_k,
+                offsets,
+            )
+            cols = np.asarray(cols)[: max(steps_left, 0)]  # (n, B, C+1)
+            steps_left -= self.decode_chunk_size
+            columns.extend(cols)
+            done = done | (cols[:, :, 0] == cfg.im_end_id).any(axis=0)
+
+        stacked = np.stack(columns, axis=0)  # (N, B, C+1)
+        outputs = []
+        for i in range(b):
+            main = stacked[:, i, 0]
+            ends = np.nonzero(main == cfg.im_end_id)[0]
+            n = int(ends[0]) + 1 if len(ends) else stacked.shape[0]
+            outputs.append(np.ascontiguousarray(stacked[:n, i].T))
+        return outputs
 
 
 # ---------------------------------------------------------------------------

@@ -422,18 +422,23 @@ def fast_forward_train(params, cfg: DualARConfig, hidden, codebooks, remat=False
 # ---------------------------------------------------------------------------
 
 
-def prefill(params, cfg: DualARConfig, inp, cache, lengths):
+def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end):
     """Run the prompt through the slow transformer, filling the KV cache.
 
     Args:
-      inp: (B, C+1, Tpad) right-padded prompt matrix.
+      inp: (B, C+1, Tpad) prompt matrix. Row i's prompt is LEFT-aligned to a
+        common end: it occupies positions [offsets[i], t_end); slots before
+        the offset are pad (masked), slots in [t_end, Tpad) are bucket tail
+        (never attended by real queries, overwritten by decode steps before
+        any decode query can see them).
       cache: slow KV cache dict, seq axis >= Tpad.
-      lengths: (B,) int32 true prompt lengths.
+      offsets: (B,) int32 per-row start positions (0 for single-stream).
+      t_end: scalar int32 — common end position; logits/hidden are taken at
+        t_end - 1.
 
     Returns (logits_last (B, V fp32), hidden_last (B, D), cache).
-    Prefill attends its own fresh K/V (positions [0, Tpad)) — the padded tail
-    produces garbage which is masked by `j < length` and overwritten by
-    subsequent decode steps before it can ever be attended.
+    Left-alignment keeps RoPE relative distances exact within each row for
+    mixed-length lockstep batches (the gap sits BEFORE the prompt).
     """
     cfg = cfg.resolve()
     b, _, t = inp.shape
@@ -441,7 +446,9 @@ def prefill(params, cfg: DualARConfig, inp, cache, lengths):
     freqs = precompute_rope(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)[:t]
 
     i = jnp.arange(t)
-    mask = (i[None, :] <= i[:, None])[None] & (i[None, None, :] < lengths[:, None, None])
+    mask = (i[None, :] <= i[:, None])[None] & (
+        i[None, None, :] >= offsets[:, None, None]
+    )
 
     s = cache["k"].shape[2]
     # Fresh-KV attention: build per-layer k/v, attend, and also store to cache.
@@ -463,7 +470,7 @@ def prefill(params, cfg: DualARConfig, inp, cache, lengths):
     x, (k_new, v_new) = lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
     cache = {"k": k_new, "v": v_new}
 
-    idx = (lengths - 1)[:, None, None]
+    idx = jnp.full((b, 1, 1), t_end - 1, dtype=jnp.int32)
     x_last = jnp.take_along_axis(x, idx, axis=1)[:, 0]  # (B, D)
     slow_out = rms_norm(x_last, params["norm"], cfg.norm_eps)
     logits = _lm_head(params, cfg, slow_out[:, None])[:, 0]
@@ -471,13 +478,17 @@ def prefill(params, cfg: DualARConfig, inp, cache, lengths):
     return logits, hidden, cache
 
 
-def decode_slow_step(params, cfg: DualARConfig, token, cache, pos):
+def decode_slow_step(params, cfg: DualARConfig, token, cache, pos,
+                     kv_valid=None):
     """One slow-transformer step.
 
     Args:
       token: (B, C+1) int32 current token column.
       cache: slow KV cache.
       pos: scalar int32 absolute position to write.
+      kv_valid: optional (B,) int32 per-row start offsets — for batched
+        lockstep decode with mixed prompt lengths (left-aligned prompts):
+        slots before a row's offset are pad and masked out.
 
     Returns (hidden (B, D) for the fast stack, slow_out (B, D) normed, cache).
     """
@@ -488,7 +499,10 @@ def decode_slow_step(params, cfg: DualARConfig, token, cache, pos):
     freqs = lax.dynamic_slice(table, (pos, 0, 0), (1,) + table.shape[1:])
 
     s = cache["k"].shape[2]
-    kv_mask = (jnp.arange(s) <= pos)[None, :]  # (1=T, S)
+    j = jnp.arange(s)
+    kv_mask = (j <= pos)[None, None, :]  # (B=1, T=1, S)
+    if kv_valid is not None:
+        kv_mask = kv_mask & (j[None, :] >= kv_valid[:, None])[:, None, :]
 
     x, cache = _run_stack_decode(
         params["layers"], _slow_spec(cfg), x, freqs, cache, pos, kv_mask
@@ -497,6 +511,97 @@ def decode_slow_step(params, cfg: DualARConfig, token, cache, pos):
     slow_out = rms_norm(x, params["norm"], cfg.norm_eps)
     hidden = slow_out if cfg.norm_fastlayer_input else x
     return hidden, slow_out, cache
+
+
+def _block_decode_multi(lp, spec, x, freqs, kc, vc, pos, kv_mask, active):
+    """Decode block with PER-ROW positions (continuous batching).
+
+    Args:
+      x: (B, 1, D); freqs: (B, Dh/2, 2) per-row rope slice;
+      kc/vc: (B, S, Hkv, Dh); pos: (B,) int32 per-row write positions;
+      kv_mask: (B, 1, S); active: (B,) bool — inactive rows neither write
+      KV nor advance (their compute is wasted lanes, not state).
+    """
+    n_head, n_kv, head_dim, eps, _ = spec
+    h = rms_norm(x, lp["attn_norm"], eps)
+    q, k, v = _qkv(lp, spec, h)
+    b = x.shape[0]
+    fr = freqs[:, None, :, :]  # (B, 1(h), d/2, 2) — same rotation for heads
+    q = _rope_rows(q, fr)
+    k = _rope_rows(k, fr)
+
+    rows = jnp.arange(b)
+    old_k = kc[rows, pos]  # (B, Hkv, Dh)
+    old_v = vc[rows, pos]
+    new_k = jnp.where(active[:, None, None], k[:, 0].astype(kc.dtype), old_k)
+    new_v = jnp.where(active[:, None, None], v[:, 0].astype(vc.dtype), old_v)
+    kc = kc.at[rows, pos].set(new_k)
+    vc = vc.at[rows, pos].set(new_v)
+
+    y = gqa_attention(q, kc, vc, kv_mask)
+    x = x + _attn_out(lp, spec, y.reshape(b, 1, -1))
+    h2 = rms_norm(x, lp["ffn_norm"], eps)
+    return x + _ffn(lp, spec, h2), kc, vc
+
+
+def _rope_rows(x, fr):
+    """Rotate x (B, 1, H, D) by per-row freqs fr (B, 1, d/2, 2)."""
+    b, s, h, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, s, h, d // 2, 2)
+    frf = fr.astype(jnp.float32)[:, :, None, :, :]  # (B,1,1,d/2,2)
+    real = xf[..., 0] * frf[..., 0] - xf[..., 1] * frf[..., 1]
+    imag = xf[..., 1] * frf[..., 0] + xf[..., 0] * frf[..., 1]
+    return jnp.stack([real, imag], axis=-1).reshape(b, s, h, d).astype(x.dtype)
+
+
+def decode_slow_step_multi(params, cfg: DualARConfig, token, cache, pos,
+                           active):
+    """One slow step with independent per-row positions.
+
+    Each row is its own sequence: row b's prompt+generation occupy cache
+    slots [0, pos[b]]; the mask is j <= pos[b].
+
+    Returns (hidden, slow_out, cache).
+    """
+    cfg = cfg.resolve()
+    x = embed_tokens(params, cfg, token[:, :, None])  # (B, 1, D)
+
+    table = precompute_rope(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)
+    freqs = jnp.take(table, jnp.clip(pos, 0, table.shape[0] - 1), axis=0)
+
+    s = cache["k"].shape[2]
+    j = jnp.arange(s)
+    kv_mask = (j[None, :] <= pos[:, None])[:, None, :]  # (B, 1, S)
+
+    spec = _slow_spec(cfg)
+
+    def body(carry, xs):
+        lp, kc, vc = xs
+        y, kc, vc = _block_decode_multi(
+            lp, spec, carry, freqs, kc, vc, pos, kv_mask, active
+        )
+        return y, (kc, vc)
+
+    x, (k_new, v_new) = lax.scan(
+        body, x, (params["layers"], cache["k"], cache["v"])
+    )
+    cache = {"k": k_new, "v": v_new}
+    x = x[:, 0]
+    slow_out = rms_norm(x, params["norm"], cfg.norm_eps)
+    hidden = slow_out if cfg.norm_fastlayer_input else x
+    return hidden, slow_out, cache
+
+
+def insert_cache_slot(pool, single, slot):
+    """Copy a single-sequence cache (L, 1, S, H, D) into pool slot `slot`."""
+    return {
+        "k": lax.dynamic_update_slice(
+            pool["k"], single["k"].astype(pool["k"].dtype), (0, slot, 0, 0, 0)
+        ),
+        "v": lax.dynamic_update_slice(
+            pool["v"], single["v"].astype(pool["v"].dtype), (0, slot, 0, 0, 0)
+        ),
+    }
 
 
 def semantic_head_logits(params, cfg: DualARConfig, slow_out):

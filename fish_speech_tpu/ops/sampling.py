@@ -69,7 +69,7 @@ def topk_state(logits, k_cap: int = TOP_K_CAP):
     rank >= k_cap is >= top_k and would be filtered anyway.
     """
     lf = logits.astype(jnp.float32)
-    vals, idx = jax.lax.top_k(lf, k_cap)
+    vals, idx = jax.lax.top_k(lf, min(k_cap, logits.shape[-1]))
     lse = jax.nn.logsumexp(lf, axis=-1)
     return vals, idx, lse
 
@@ -92,6 +92,44 @@ def sample_topk(key, state, temperature, top_p, top_k):
     )
     choice = jnp.argmax(p / -jnp.log(u), axis=-1)
     return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(
+        jnp.int32
+    )
+
+
+def split_keys_rows(keys, n: int):
+    """Split a batch of PRNG keys: (B, 2) uint32 -> (B, n, 2)."""
+    return jax.vmap(lambda k: jax.random.split(k, n))(keys)
+
+
+def sample_topk_rows(keys, state, temperature, top_p, top_k):
+    """Per-row keyed variant of sample_topk for continuous batching: each
+    row has its own PRNG key and (optionally) its own sampling params.
+
+    keys: (B, 2) uint32; temperature/top_p/top_k: scalars or (B,).
+    Returns (B,) int32 vocab indices.
+    """
+    vals, idx, lse = state
+    b, k_cap = vals.shape
+    temperature = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
+    top_k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), (b,))
+    top_k = jnp.minimum(top_k, k_cap)
+
+    probs = jnp.exp(vals - lse[..., None])
+    cum = jnp.cumsum(probs, axis=-1)
+    ranks = jnp.arange(k_cap)[None, :]
+    remove = (cum > top_p[:, None]) | (ranks >= top_k[:, None])
+    remove = remove.at[:, 0].set(False)
+    filtered = jnp.where(remove, -jnp.inf, vals)
+    filtered = filtered / jnp.clip(temperature, 1e-5, None)[:, None]
+    p = jax.nn.softmax(filtered, axis=-1)
+    u = jax.vmap(
+        lambda k: jax.random.uniform(
+            k, (k_cap,), jnp.float32, minval=jnp.finfo(jnp.float32).tiny
+        )
+    )(keys)
+    choice = jnp.argmax(p / -jnp.log(u), axis=-1)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(
         jnp.int32
     )
 

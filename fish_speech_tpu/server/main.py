@@ -62,10 +62,24 @@ def build_engine(args):
             args.decoder_checkpoint_path or args.checkpoint_path, dtype=dtype
         )
 
-    session = GenerationSession(
-        params, cfg, SamplingConfig(), max_batch=1, dtype=dtype,
-        decode_chunk_size=args.decode_chunk_size,
-    )
+    if args.int8:
+        from fish_speech_tpu.ops.quant import quantize_dual_ar_lowmem
+
+        params = quantize_dual_ar_lowmem(params, mode="int8")
+
+    if args.pool_size > 1:
+        from fish_speech_tpu.engine.batcher import BatcherSession, ContinuousBatcher
+
+        batcher = ContinuousBatcher(
+            params, cfg, SamplingConfig(), pool_size=args.pool_size,
+            dtype=dtype, decode_chunk_size=args.decode_chunk_size,
+        )
+        session = BatcherSession(batcher)
+    else:
+        session = GenerationSession(
+            params, cfg, SamplingConfig(), max_batch=1, dtype=dtype,
+            decode_chunk_size=args.decode_chunk_size,
+        )
     engine = TTSInferenceEngine(
         session, tokenizer, dac_params, dac_cfg,
         references_dir=args.references_dir,
@@ -96,6 +110,11 @@ def parse_args(argv=None):
     parser.add_argument("--max-text-length", type=int, default=0)
     parser.add_argument("--references-dir", type=str, default="references")
     parser.add_argument("--decode-chunk-size", type=int, default=32)
+    parser.add_argument("--pool-size", type=int, default=1,
+                        help=">1 enables continuous batching: a shared "
+                             "decode pool serving this many streams")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 weight-only quantization at load")
     parser.add_argument("--tiny", action="store_true",
                         help="random tiny models (smoke test)")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")

@@ -1,0 +1,99 @@
+"""Continuous batcher: concurrent requests through the shared decode pool."""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fish_speech_tpu.config import SamplingConfig, dual_ar_tiny
+from fish_speech_tpu.engine.batcher import BatchRequest, ContinuousBatcher
+from fish_speech_tpu.models import dual_ar
+
+from tests.test_dual_ar import random_prompt
+
+
+@pytest.fixture(scope="module")
+def batcher():
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3, max_seq_len=128
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    b = ContinuousBatcher(
+        params, cfg, SamplingConfig(), pool_size=3, dtype=jnp.float32,
+        decode_chunk_size=4,
+    )
+    yield b
+    b.shutdown()
+
+
+def _check(cfg, out):
+    assert out.shape[0] == cfg.num_codebooks + 1
+    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
+    main = out[0]
+    ok = ((main >= sb) & (main <= se)) | (main == cfg.im_end_id)
+    assert ok.all()
+    # im_end can only be the last column
+    assert not (main[:-1] == cfg.im_end_id).any()
+
+
+def test_single_request(batcher):
+    cfg = batcher.cfg
+    prompt = random_prompt(cfg, 10)
+    out = batcher.generate(prompt, max_new_tokens=9, seed=1)
+    assert 1 <= out.shape[1] <= 9
+    _check(cfg, out)
+
+
+def test_concurrent_requests(batcher):
+    cfg = batcher.cfg
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def worker(i, t):
+        prompt = random_prompt(cfg, t, np.random.default_rng(i))
+        results[i] = batcher.generate(prompt, max_new_tokens=8 + i, seed=i)
+
+    threads = [
+        threading.Thread(target=worker, args=(i, 6 + 3 * i)) for i in range(5)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert len(results) == 5
+    for i, out in results.items():
+        assert 1 <= out.shape[1] <= 8 + i
+        _check(cfg, out)
+
+
+def test_deterministic_per_seed(batcher):
+    """A request's output depends only on its own seed/prompt, not pool
+    traffic."""
+    cfg = batcher.cfg
+    prompt = random_prompt(cfg, 8)
+    a = batcher.generate(prompt, max_new_tokens=7, seed=123)
+    b = batcher.generate(prompt, max_new_tokens=7, seed=123)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_more_requests_than_slots(batcher):
+    cfg = batcher.cfg
+    outs = []
+    qs = []
+    for i in range(7):  # pool_size is 3
+        prompt = random_prompt(cfg, 6, np.random.default_rng(100 + i))
+        qs.append(batcher.submit(BatchRequest(prompt=prompt, max_new_tokens=6,
+                                              seed=i)))
+    for q in qs:
+        chunks = []
+        while True:
+            item = q.get(timeout=120)
+            if item is None:
+                break
+            chunks.append(item)
+        outs.append(np.concatenate(chunks, axis=0).T)
+    assert len(outs) == 7
+    for out in outs:
+        _check(cfg, out)

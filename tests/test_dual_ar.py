@@ -63,7 +63,8 @@ def test_prefill_matches_forward_train(setup):
     )
     cache = dual_ar.init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
     logits, hidden, cache = dual_ar.prefill(
-        params, cfg, jnp.asarray(inp[None]), cache, jnp.asarray([t])
+        params, cfg, jnp.asarray(inp[None]), cache,
+        jnp.zeros((1,), jnp.int32), jnp.int32(t),
     )
     np.testing.assert_allclose(
         np.asarray(logits[0]), np.asarray(tok_logits[0, t - 1]), rtol=2e-4, atol=2e-4
@@ -77,13 +78,15 @@ def test_prefill_padding_invariance(setup):
     inp = random_prompt(cfg, t)
     cache = dual_ar.init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
     logits_exact, _, _ = dual_ar.prefill(
-        params, cfg, jnp.asarray(inp[None]), cache, jnp.asarray([t])
+        params, cfg, jnp.asarray(inp[None]), cache,
+        jnp.zeros((1,), jnp.int32), jnp.int32(t),
     )
     padded = np.zeros((cfg.num_codebooks + 1, 24), dtype=np.int32)
     padded[:, :t] = inp
     padded[0, t:] = 17  # garbage in the pad region
     logits_pad, _, _ = dual_ar.prefill(
-        params, cfg, jnp.asarray(padded[None]), cache, jnp.asarray([t])
+        params, cfg, jnp.asarray(padded[None]), cache,
+        jnp.zeros((1,), jnp.int32), jnp.int32(t),
     )
     np.testing.assert_allclose(
         np.asarray(logits_exact), np.asarray(logits_pad), rtol=1e-5, atol=1e-5
@@ -103,7 +106,8 @@ def test_decode_matches_forward_train(setup):
     # prefill with the first token only, then decode the rest step by step
     cache = dual_ar.init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
     _, _, cache = dual_ar.prefill(
-        params, cfg, jnp.asarray(inp[None, :, :1]), cache, jnp.asarray([1])
+        params, cfg, jnp.asarray(inp[None, :, :1]), cache,
+        jnp.zeros((1,), jnp.int32), jnp.int32(1),
     )
     for pos in range(1, t):
         token = jnp.asarray(inp[None, :, pos])

@@ -1,0 +1,70 @@
+"""TTS engine on top of the continuous batcher (server --pool-size path)."""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fish_speech_tpu.config import SamplingConfig, dac_tiny, dual_ar_tiny
+from fish_speech_tpu.engine.batcher import BatcherSession, ContinuousBatcher
+from fish_speech_tpu.engine.tts import TTSInferenceEngine, TTSRequest
+from fish_speech_tpu.models.dac import init_dac
+from fish_speech_tpu.models.dual_ar import init_dual_ar
+
+
+@pytest.fixture(scope="module")
+def engine(tokenizer, tmp_path_factory):
+    dac_cfg = dac_tiny()
+    cfg = dual_ar_tiny(
+        vocab_size=tokenizer.vocab_size,
+        semantic_begin_id=tokenizer.semantic_begin_id,
+        semantic_end_id=tokenizer.semantic_end_id,
+        im_end_id=tokenizer.im_end_id,
+        codebook_size=4096,
+        num_codebooks=dac_cfg.rvq.total_codebooks,
+        max_seq_len=256,
+    )
+    params = init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    dac_params = init_dac(jax.random.PRNGKey(1), dac_cfg, dtype=jnp.float32)
+    batcher = ContinuousBatcher(
+        params, cfg, SamplingConfig(), pool_size=2, dtype=jnp.float32,
+        decode_chunk_size=4,
+    )
+    session = BatcherSession(batcher)
+    eng = TTSInferenceEngine(
+        session, tokenizer, dac_params, dac_cfg,
+        references_dir=str(tmp_path_factory.mktemp("refs")),
+    )
+    yield eng
+    batcher.shutdown()
+
+
+def test_engine_through_batcher(engine):
+    results = list(engine.inference(TTSRequest(text="pooled", max_new_tokens=8)))
+    final = [r for r in results if r.code == "final"]
+    assert len(final) == 1
+    sr, audio = final[0].audio
+    assert sr == engine.sample_rate and len(audio) > 0
+
+
+def test_engine_concurrent_through_batcher(engine):
+    outs = {}
+
+    def worker(i):
+        rs = list(
+            engine.inference(
+                TTSRequest(text=f"request number {i}", max_new_tokens=6, seed=i)
+            )
+        )
+        outs[i] = [r.code for r in rs]
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(outs) == 4
+    for codes in outs.values():
+        assert codes[-1] == "final"
