@@ -1,14 +1,20 @@
-"""Single-stream synthesis benchmark.
+"""Synthesis speed benchmark (the driver runs this on real TPU hardware).
 
 Measures the Dual-AR decode loop (1 slow step + num_codebooks fast steps per
-audio frame) on the flagship-scale model with random bf16 weights, through
-the REAL generation path (jitted chunked decode + on-device sampling + host
+audio frame) on the flagship-scale model with random weights, through the
+REAL generation path (jitted chunked decode + on-device sampling + host
 chunk sync), and reports speed as a multiple of realtime at the codec's
 21.53 frames/s.
 
+Default configuration is the SERVING benchmark: int8 weights, 8 concurrent
+streams through the lockstep batched decode (aggregate frames/s per chip) —
+the apples-to-apples comparison with the reference headline, which was also
+measured through batched serving (SGLang on H200). `--batch 1` gives the
+single-stream latency benchmark instead.
+
 Prints ONE JSON line:
-  {"metric": "single_stream_x_realtime", "value": N, "unit": "x_realtime",
-   "vs_baseline": M}
+  {"metric": "serving_x_realtime_per_chip", "value": N,
+   "unit": "x_realtime", "vs_baseline": M}
 
 vs_baseline compares against the reference's published serving number
 (RTF 0.195 on 1x H200 via SGLang => 5.13x realtime; BASELINE.md).
@@ -31,16 +37,23 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--small", action="store_true",
                         help="tiny model (CPU smoke test)")
-    parser.add_argument("--steps", type=int, default=256,
+    parser.add_argument("--steps", type=int, default=128,
                         help="decode steps to time")
     parser.add_argument("--prompt-len", type=int, default=128)
-    parser.add_argument("--chunk", type=int, default=64,
+    parser.add_argument("--chunk", type=int, default=32,
                         help="decode steps per host sync")
-    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--batch", type=int, default=8,
+                        help="concurrent streams (1 = single-stream latency "
+                             "benchmark; >1 = serving throughput per chip)")
     parser.add_argument("--int8", action="store_true",
                         help="shorthand for --quant int8")
+    parser.add_argument("--max-seq", type=int, default=None,
+                        help="override model context (serving configs often "
+                             "use 2048; smaller context = smaller KV pool)")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="write a jax.profiler trace to this directory")
     parser.add_argument("--quant", choices=["none", "int8", "int4", "mixed"],
-                        default="none",
+                        default="int8",
                         help="weight quantization; mixed = slow int8 + fast "
                              "int4 (fast weights are re-read 10x per frame)")
     args = parser.parse_args()
@@ -56,6 +69,8 @@ def main():
     from fish_speech_tpu.models import dual_ar
 
     if args.small:
+        args.quant = "none" if args.quant == "int8" else args.quant
+        args.batch = 1
         cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=4395,
                            im_end_id=3, codebook_size=4096, num_codebooks=10)
     else:
@@ -64,6 +79,10 @@ def main():
         )
         # semantic range must lie inside the vocab
         assert cfg.semantic_end_id < cfg.vocab_size
+    if args.max_seq:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, max_seq_len=args.max_seq).resolve()
 
     dtype = jnp.bfloat16
     t0 = time.perf_counter()
@@ -115,9 +134,14 @@ def main():
     print(f"# warmup+compile: {compile_time:.1f}s", file=sys.stderr)
 
     # Timed run: full generate of args.steps tokens (includes prefill).
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     out = run(args.steps, jax.random.PRNGKey(2))
     wall = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"# profiler trace -> {args.profile}", file=sys.stderr)
     n_frames = out.shape[1]
 
     # Time-to-first-chunk (prefill + first decode chunk -> first audio-worth
@@ -128,8 +152,12 @@ def main():
 
     frames_per_s = n_frames / wall
     x_realtime = frames_per_s / FRAMES_PER_SECOND
+    metric = (
+        "serving_x_realtime_per_chip" if args.batch > 1
+        else "single_stream_x_realtime"
+    )
     result = {
-        "metric": "single_stream_x_realtime",
+        "metric": metric,
         "value": round(x_realtime, 3),
         "unit": "x_realtime",
         "vs_baseline": round(x_realtime / REFERENCE_X_REALTIME, 3),
@@ -141,6 +169,8 @@ def main():
             "first_chunk_s": round(ttfc, 3),
             "params_b": round(n_params / 1e9, 3),
             "platform": jax.devices()[0].platform,
+            "quant": args.quant,
+            "streams": args.batch,
         },
     }
     print(json.dumps(result))

@@ -39,16 +39,19 @@ IGNORE_INDEX = -100
 
 
 def expand_proto_files(proto_files: Sequence[str]) -> List[Path]:
+    from fish_speech_tpu.utils.file import braceexpand
+
     out: List[Path] = []
     for filename in proto_files:
-        p = Path(filename)
-        if p.is_file():
-            out.append(p)
-        elif p.is_dir():
-            out.extend(p.rglob("*.proto"))
-            out.extend(p.rglob("*.protos"))
-        else:
-            raise ValueError(f"{p} is not a file or directory")
+        for expanded in braceexpand(str(filename)):
+            p = Path(expanded)
+            if p.is_file():
+                out.append(p)
+            elif p.is_dir():
+                out.extend(p.rglob("*.proto"))
+                out.extend(p.rglob("*.protos"))
+            else:
+                raise ValueError(f"{p} is not a file or directory")
     return sorted(out)
 
 
@@ -267,3 +270,73 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+
+
+class ConcatRepeatDataset:
+    """Concatenate datasets, repeating each `repeats` times before moving to
+    the next (reference `datasets/concat_repeat.py`)."""
+
+    def __init__(self, datasets, repeats: int = 1):
+        self.datasets = datasets
+        self.repeats = repeats
+
+    def __iter__(self):
+        while True:
+            for ds in self.datasets:
+                it = iter(ds)
+                for _ in range(self.repeats):
+                    yield next(it)
+
+
+class VQGANDataset:
+    """Codec-training dataset: random fixed-length crops of audio files
+    (reference `datasets/vqgan.py`). Yields dicts with `audio` (T,) float32
+    and `audio_length`."""
+
+    def __init__(self, filelist: str, sample_rate: int = 44100,
+                 hop_length: int = 512, slice_frames=None, num_mels: int = 128,
+                 seed: int = 42):
+        from fish_speech_tpu.audio.io import load_audio
+
+        self._load_audio = load_audio
+        root = Path(filelist).parent
+        names = [
+            line.strip() for line in Path(filelist).read_text().splitlines()
+            if line.strip()
+        ]
+        self.files = [root / n for n in names]
+        if not self.files:
+            raise ValueError(f"No files in {filelist}")
+        self.sample_rate = sample_rate
+        self.hop_length = hop_length
+        self.slice_frames = slice_frames
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> Optional[dict]:
+        try:
+            audio = self._load_audio(str(self.files[idx]), self.sample_rate)
+        except Exception:
+            return None
+        if self.slice_frames is not None:
+            span = self.slice_frames * self.hop_length
+            if len(audio) >= span:
+                start = self.rng.randint(0, len(audio) - span)
+                audio = audio[start : start + span]
+        if len(audio) == 0:
+            return None
+        # pad to hop multiple
+        pad = (-len(audio)) % self.hop_length
+        audio = np.pad(audio, (0, pad))
+        return {"audio": audio.astype(np.float32), "audio_length": len(audio)}
+
+    def __iter__(self):
+        order = list(range(len(self.files)))
+        while True:
+            self.rng.shuffle(order)
+            for i in order:
+                item = self[i]
+                if item is not None:
+                    yield item

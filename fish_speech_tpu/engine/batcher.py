@@ -94,6 +94,9 @@ class ContinuousBatcher:
         self.chunk = decode_chunk_size
         self.idle_sleep = idle_sleep
         self.cache_len = self.cfg.max_seq_len + decode_chunk_size
+        self.kv_buckets = tuple(
+            b for b in (512, 2048) if b < self.cache_len
+        ) + (self.cache_len,)
 
         b = pool_size
         self.pool = dual_ar.init_kv_cache(self.cfg, b, self.cache_len, dtype)
@@ -217,14 +220,25 @@ class ContinuousBatcher:
                 self._wake.clear()
                 continue
 
+            max_pos = max(
+                (s.pos for s in self.slots if s.active), default=0
+            )
+            kv_len = next(
+                (b for b in self.kv_buckets if max_pos + self.chunk + 1 <= b),
+                self.cache_len,
+            )
             (cols, self.token, self.pool, self.pos, self.window, self.keys,
              self.active) = decode_chunk_multi(
                 self.params, cfg, self.scfg, self.chunk, self.token,
                 self.pool, self.pos, self.window, self.keys, self.active,
-                self.temperature, self.top_p, self.top_k,
+                self.temperature, self.top_p, self.top_k, kv_len,
             )
             cols_np = np.asarray(cols)  # (n, B, C+1)
             still_active = np.asarray(self.active)
+            pos_np = np.asarray(self.pos)
+            for i, s in enumerate(self.slots):
+                if s.active:
+                    s.pos = int(pos_np[i])
 
             for i, s in enumerate(self.slots):
                 if not s.active:

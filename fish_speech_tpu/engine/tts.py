@@ -84,6 +84,10 @@ class TTSInferenceEngine:
             lambda p, c: dac_from_indices(p, self.codec_cfg, c),
             static_argnums=(),
         )
+        # code-length buckets so segment decode compiles once per bucket
+        # (the codec is causal, so pad-then-slice is EXACT: padded frames
+        # cannot affect earlier output samples)
+        self.code_buckets = (32, 64, 128, 256, 512, 1024, 2048)
 
     @property
     def sample_rate(self) -> int:
@@ -100,8 +104,13 @@ class TTSInferenceEngine:
 
     def decode_vq_tokens(self, codes: np.ndarray) -> np.ndarray:
         """(num_codebooks, T) codes -> (T_samples,) float waveform."""
-        audio = self._decode_jit(self.codec_params, jnp.asarray(codes[None]))
-        return np.asarray(audio[0, 0], dtype=np.float32)
+        t = codes.shape[1]
+        bucket = next((b for b in self.code_buckets if t <= b), t)
+        padded = np.zeros((codes.shape[0], bucket), dtype=np.int32)
+        padded[:, :t] = codes
+        audio = self._decode_jit(self.codec_params, jnp.asarray(padded[None]))
+        n = t * self.codec_cfg.frame_length
+        return np.asarray(audio[0, 0, :n], dtype=np.float32)
 
     # -- main entry --
 

@@ -131,9 +131,9 @@ def prefill_step(params, cfg: DualARConfig, scfg: SamplingConfig, inp, cache,
 
 
 def _decode_one(params, cfg, scfg, token, cache, pos, window, key,
-                temperature, top_p, top_k, kv_valid=None):
+                temperature, top_p, top_k, kv_valid=None, kv_len=None):
     hidden, slow_out, cache = dual_ar.decode_slow_step(
-        params, cfg, token, cache, pos, kv_valid=kv_valid
+        params, cfg, token, cache, pos, kv_valid=kv_valid, kv_len=kv_len
     )
     logits = dual_ar.semantic_head_logits(params, cfg, slow_out)
     key, sk = jax.random.split(key)
@@ -143,10 +143,12 @@ def _decode_one(params, cfg, scfg, token, cache, pos, window, key,
     return column, cache, key
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=(5,))
+@functools.partial(
+    jax.jit, static_argnums=(1, 2, 3, 13), donate_argnums=(5,)
+)
 def decode_chunk(params, cfg: DualARConfig, scfg: SamplingConfig, n_steps: int,
                  token, cache, pos, window, key, temperature, top_p, top_k,
-                 kv_offsets=None):
+                 kv_offsets=None, kv_len=None):
     """Run n_steps decode steps on device; host syncs once per chunk.
 
     Returns (columns (n, B, C+1), token, cache, pos, window, key, done (B,)).
@@ -161,7 +163,7 @@ def decode_chunk(params, cfg: DualARConfig, scfg: SamplingConfig, n_steps: int,
         token, cache, pos, window, key = carry
         column, cache, key = _decode_one(
             params, cfg, scfg, token, cache, pos, window, key,
-            temperature, top_p, top_k, kv_valid=kv_valid,
+            temperature, top_p, top_k, kv_valid=kv_valid, kv_len=kv_len,
         )
         window = jnp.roll(window, -1, axis=1).at[:, -1].set(column[:, 0])
         return (column, cache, pos + 1, window, key), column
@@ -222,10 +224,12 @@ def _sample_column_rows(params, cfg, scfg, logits, hidden, window, keys,
     return column, ks[:, 3]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3), donate_argnums=(5,))
+@functools.partial(
+    jax.jit, static_argnums=(1, 2, 3, 13), donate_argnums=(5,)
+)
 def decode_chunk_multi(params, cfg: DualARConfig, scfg: SamplingConfig,
                        n_steps: int, token, cache, pos, window, keys, active,
-                       temperature, top_p, top_k):
+                       temperature, top_p, top_k, kv_len=None):
     """Continuous-batching decode: every row advances its OWN position and
     carries its own PRNG key and sampling params; inactive rows are frozen
     (no KV writes, no position advance — pure wasted lanes, which is the
@@ -238,7 +242,7 @@ def decode_chunk_multi(params, cfg: DualARConfig, scfg: SamplingConfig,
     def body(carry, _):
         token, cache, pos, window, keys, active = carry
         hidden, slow_out, cache = dual_ar.decode_slow_step_multi(
-            params, cfg, token, cache, pos, active
+            params, cfg, token, cache, pos, active, kv_len=kv_len
         )
         logits = dual_ar.semantic_head_logits(params, cfg, slow_out)
         column, keys = _sample_column_rows(
@@ -302,17 +306,32 @@ class GenerationSession:
 
     def __init__(self, params, cfg: DualARConfig, scfg: SamplingConfig = None,
                  max_batch: int = 1, dtype=jnp.bfloat16,
-                 decode_chunk_size: int = 32):
+                 decode_chunk_size: int = 32, kv_buckets=(512, 2048),
+                 first_chunk_size: int = 0):
         self.params = params
         self.cfg = cfg.resolve()
         self.scfg = scfg or SamplingConfig()
         self.dtype = dtype
         self.decode_chunk_size = decode_chunk_size
+        # streaming latency: optionally run a smaller first chunk so the
+        # first audio segment reaches the codec sooner (one extra compile)
+        self.first_chunk_size = first_chunk_size or decode_chunk_size
         # headroom so chunked decode never writes past the buffer
         self.cache_len = self.cfg.max_seq_len + decode_chunk_size
+        # attention reads only a bucketed prefix of the cache (each distinct
+        # bucket is one extra compile; KV reads dominate long-cache decode)
+        self.kv_buckets = tuple(
+            sorted(b for b in kv_buckets if b < self.cache_len)
+        ) + (self.cache_len,)
         self.cache = dual_ar.init_kv_cache(
             self.cfg, max_batch, self.cache_len, dtype
         )
+
+    def _kv_bucket(self, pos_end: int) -> int:
+        for b in self.kv_buckets:
+            if pos_end <= b:
+                return b
+        return self.cache_len
 
     def generate(
         self,
@@ -359,15 +378,18 @@ class GenerationSession:
         token = column
         window = jnp.zeros((1, scfg.ras_win_size), jnp.int32)
         steps_left = budget - 1
+        first = True
         while steps_left > 0:
             # Always run a FULL chunk (n_steps is a static jit arg; variable
             # trailing chunks would each trigger a recompile) and truncate
             # host-side. The cache has decode_chunk_size slots of headroom so
             # the overshoot never writes out of bounds.
-            n = self.decode_chunk_size
+            n = self.first_chunk_size if first else self.decode_chunk_size
+            first = False
+            kv_len = self._kv_bucket(int(pos) + n + 1)
             cols, token, self.cache, pos, window, key, done = decode_chunk(
                 self.params, cfg, scfg, int(n), token, self.cache, pos, window,
-                key, temperature, top_p, top_k,
+                key, temperature, top_p, top_k, None, kv_len,
             )
             cols = np.asarray(cols)[:, 0][: max(steps_left, 0)]  # (<=n, C+1)
             steps_left -= n
@@ -437,10 +459,11 @@ class GenerationSession:
 
         steps_left = budget - 1
         while steps_left > 0 and not done.all():
+            kv_len = self._kv_bucket(int(pos) + self.decode_chunk_size + 1)
             cols, token, self.cache, pos, window, key, _ = decode_chunk(
                 self.params, cfg, scfg, int(self.decode_chunk_size), token,
                 self.cache, pos, window, key, temperature, top_p, top_k,
-                offsets,
+                offsets, kv_len,
             )
             cols = np.asarray(cols)[: max(steps_left, 0)]  # (n, B, C+1)
             steps_left -= self.decode_chunk_size

@@ -245,23 +245,6 @@ def _block_train(lp, spec, x, freqs, mask, eps):
     return x + _ffn(lp, spec, h2)
 
 
-def _block_decode(lp, spec, x, freqs, kc, vc, pos, kv_mask):
-    """One block in decode mode: write fresh K/V into the cache at `pos`,
-    attend over the full cache under `kv_mask` (True = visible)."""
-    n_head, n_kv, head_dim, eps, _ = spec
-    h = rms_norm(x, lp["attn_norm"], eps)
-    q, k, v = _qkv(lp, spec, h)
-    q = apply_rope(q, freqs)
-    k = apply_rope(k, freqs)
-    kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, pos, 0, 0))
-    vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, pos, 0, 0))
-    y = gqa_attention(q, kc, vc, kv_mask)
-    b, t = y.shape[:2]
-    x = x + _attn_out(lp, spec, y.reshape(b, t, -1))
-    h2 = rms_norm(x, lp["ffn_norm"], eps)
-    return x + _ffn(lp, spec, h2), kc, vc
-
-
 def _run_stack_train(layers, spec, x, freqs, mask, eps, remat=False):
     def body(carry, lp):
         return _block_train(lp, spec, carry, freqs, mask, eps), None
@@ -272,14 +255,79 @@ def _run_stack_train(layers, spec, x, freqs, mask, eps, remat=False):
     return x
 
 
-def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask):
-    def body(carry, xs):
-        lp, kc, vc = xs
-        y, kc, vc = _block_decode(lp, spec, carry, freqs, kc, vc, pos, kv_mask)
-        return y, (kc, vc)
+def _layer_slice(layers, i):
+    """Dynamic-index the stacked layer pytree at layer i (handles quantized
+    dicts and LoRA subtrees transparently)."""
+    return jax.tree_util.tree_map(
+        lambda a: lax.dynamic_index_in_dim(a, i, 0, keepdims=False), layers
+    )
 
-    x, (k_new, v_new) = lax.scan(body, x, (layers, cache["k"], cache["v"]))
-    return x, {"k": k_new, "v": v_new}
+
+def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask,
+                      kv_len=None, write_rows=None, active=None):
+    """Decode-mode layer loop with the GLOBAL cache carried in place.
+
+    A scan that emits per-layer updated caches as stacked outputs forces XLA
+    to rewrite the ENTIRE cache every step (a 1.2 GB copy per step at 4B/4k —
+    it dominated batched decode). Instead: fori_loop over layers with the
+    full (L, B, S, H, D) cache in the carry — XLA aliases while-loop carries,
+    so the per-layer update is a genuine in-place row write; attention reads
+    the (kv_len-bounded) slice of the current layer only.
+
+    write_rows: None for lockstep (scalar pos write at all rows), or
+    (rows, per-row-pos, active) for the continuous-batching path.
+    """
+    kc_all, vc_all = cache["k"], cache["v"]
+    n_layer = kc_all.shape[0]
+    b = x.shape[0]
+    s = kc_all.shape[2]
+    read_len = kv_len if kv_len is not None else s
+    eps = spec[3]
+
+    def body(i, carry):
+        x, kc_all, vc_all = carry
+        lp = _layer_slice(layers, i)
+        h = rms_norm(x, lp["attn_norm"], eps)
+        q, k, v = _qkv(lp, spec, h)
+        if freqs.ndim == 4:  # per-row frequencies (continuous batching)
+            q = _rope_rows(q, freqs)
+            k = _rope_rows(k, freqs)
+        else:
+            q = apply_rope(q, freqs)
+            k = apply_rope(k, freqs)
+
+        if write_rows is None:
+            # lockstep: one shared position
+            kc_all = lax.dynamic_update_slice(
+                kc_all, k[None].astype(kc_all.dtype), (i, 0, pos, 0, 0)
+            )
+            vc_all = lax.dynamic_update_slice(
+                vc_all, v[None].astype(vc_all.dtype), (i, 0, pos, 0, 0)
+            )
+        else:
+            rows, row_pos, act = write_rows
+            old_k = kc_all[i, rows, row_pos]
+            old_v = vc_all[i, rows, row_pos]
+            new_k = jnp.where(act[:, None, None], k[:, 0].astype(kc_all.dtype), old_k)
+            new_v = jnp.where(act[:, None, None], v[:, 0].astype(vc_all.dtype), old_v)
+            kc_all = kc_all.at[i, rows, row_pos].set(new_k)
+            vc_all = vc_all.at[i, rows, row_pos].set(new_v)
+
+        kcl = lax.dynamic_slice(
+            kc_all, (i, 0, 0, 0, 0),
+            (1, b, read_len) + kc_all.shape[3:],
+        )[0]
+        vcl = lax.dynamic_slice(
+            vc_all, (i, 0, 0, 0, 0),
+            (1, b, read_len) + vc_all.shape[3:],
+        )[0]
+        y = gqa_attention(q, kcl, vcl, kv_mask[..., :read_len])
+        x = x + _attn_out(lp, spec, y.reshape(b, x.shape[1], -1))
+        h2 = rms_norm(x, lp["ffn_norm"], eps)
+        return (x + _ffn(lp, spec, h2), kc_all, vc_all)
+
+    x, kc_all, vc_all = lax.fori_loop(0, n_layer, body, (x, kc_all, vc_all))
+    return x, {"k": kc_all, "v": vc_all}
 
 
 def _slow_spec(cfg: DualARConfig):
@@ -479,7 +527,7 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end):
 
 
 def decode_slow_step(params, cfg: DualARConfig, token, cache, pos,
-                     kv_valid=None):
+                     kv_valid=None, kv_len=None):
     """One slow-transformer step.
 
     Args:
@@ -505,43 +553,13 @@ def decode_slow_step(params, cfg: DualARConfig, token, cache, pos,
         kv_mask = kv_mask & (j[None, :] >= kv_valid[:, None])[:, None, :]
 
     x, cache = _run_stack_decode(
-        params["layers"], _slow_spec(cfg), x, freqs, cache, pos, kv_mask
+        params["layers"], _slow_spec(cfg), x, freqs, cache, pos, kv_mask,
+        kv_len=kv_len,
     )
     x = x[:, 0]
     slow_out = rms_norm(x, params["norm"], cfg.norm_eps)
     hidden = slow_out if cfg.norm_fastlayer_input else x
     return hidden, slow_out, cache
-
-
-def _block_decode_multi(lp, spec, x, freqs, kc, vc, pos, kv_mask, active):
-    """Decode block with PER-ROW positions (continuous batching).
-
-    Args:
-      x: (B, 1, D); freqs: (B, Dh/2, 2) per-row rope slice;
-      kc/vc: (B, S, Hkv, Dh); pos: (B,) int32 per-row write positions;
-      kv_mask: (B, 1, S); active: (B,) bool — inactive rows neither write
-      KV nor advance (their compute is wasted lanes, not state).
-    """
-    n_head, n_kv, head_dim, eps, _ = spec
-    h = rms_norm(x, lp["attn_norm"], eps)
-    q, k, v = _qkv(lp, spec, h)
-    b = x.shape[0]
-    fr = freqs[:, None, :, :]  # (B, 1(h), d/2, 2) — same rotation for heads
-    q = _rope_rows(q, fr)
-    k = _rope_rows(k, fr)
-
-    rows = jnp.arange(b)
-    old_k = kc[rows, pos]  # (B, Hkv, Dh)
-    old_v = vc[rows, pos]
-    new_k = jnp.where(active[:, None, None], k[:, 0].astype(kc.dtype), old_k)
-    new_v = jnp.where(active[:, None, None], v[:, 0].astype(vc.dtype), old_v)
-    kc = kc.at[rows, pos].set(new_k)
-    vc = vc.at[rows, pos].set(new_v)
-
-    y = gqa_attention(q, kc, vc, kv_mask)
-    x = x + _attn_out(lp, spec, y.reshape(b, 1, -1))
-    h2 = rms_norm(x, lp["ffn_norm"], eps)
-    return x + _ffn(lp, spec, h2), kc, vc
 
 
 def _rope_rows(x, fr):
@@ -555,7 +573,7 @@ def _rope_rows(x, fr):
 
 
 def decode_slow_step_multi(params, cfg: DualARConfig, token, cache, pos,
-                           active):
+                           active, kv_len=None):
     """One slow step with independent per-row positions.
 
     Each row is its own sequence: row b's prompt+generation occupy cache
@@ -574,18 +592,11 @@ def decode_slow_step_multi(params, cfg: DualARConfig, token, cache, pos,
     kv_mask = (j[None, :] <= pos[:, None])[:, None, :]  # (B, 1, S)
 
     spec = _slow_spec(cfg)
-
-    def body(carry, xs):
-        lp, kc, vc = xs
-        y, kc, vc = _block_decode_multi(
-            lp, spec, carry, freqs, kc, vc, pos, kv_mask, active
-        )
-        return y, (kc, vc)
-
-    x, (k_new, v_new) = lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"])
+    rows = jnp.arange(token.shape[0])
+    x, cache = _run_stack_decode(
+        params["layers"], spec, x, freqs[:, None], cache, None, kv_mask,
+        kv_len=kv_len, write_rows=(rows, pos, active),
     )
-    cache = {"k": k_new, "v": v_new}
     x = x[:, 0]
     slow_out = rms_norm(x, params["norm"], cfg.norm_eps)
     hidden = slow_out if cfg.norm_fastlayer_input else x

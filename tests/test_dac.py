@@ -151,3 +151,21 @@ def test_forward_training_roundtrip(codec):
     assert out.shape == audio.shape
     assert np.isfinite(np.asarray(result["commitment_loss"])).all()
     assert np.isfinite(np.asarray(result["codebook_loss"])).all()
+
+
+def test_decode_prefix_consistency(codec):
+    """Padding codes on the right must not change earlier output samples —
+    the property the engine's bucketed segment decode relies on."""
+    cfg, params = codec
+    rng = np.random.default_rng(9)
+    codes = rng.integers(
+        0, cfg.rvq.codebook_size, size=(1, cfg.rvq.total_codebooks, 6)
+    ).astype(np.int32)
+    full = dac_from_indices(params, cfg, jnp.asarray(codes))
+    padded = np.zeros((1, cfg.rvq.total_codebooks, 10), dtype=np.int32)
+    padded[:, :, :6] = codes
+    out = dac_from_indices(params, cfg, jnp.asarray(padded))
+    n = 6 * cfg.frame_length
+    np.testing.assert_allclose(
+        np.asarray(full[0, 0]), np.asarray(out[0, 0, :n]), atol=1e-5
+    )
