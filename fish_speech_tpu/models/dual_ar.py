@@ -493,6 +493,9 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end):
     x = embed_tokens(params, cfg, inp)
     freqs = precompute_rope(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)[:t]
 
+    # XLA attention materializes (B,H,T,T) fp32 scores; the Pallas flash
+    # kernel keeps them in VMEM. Use it on TPU for long prompts.
+    use_flash = t >= 512 and jax.default_backend() == "tpu"
     i = jnp.arange(t)
     mask = (i[None, :] <= i[:, None])[None] & (
         i[None, None, :] >= offsets[:, None, None]
@@ -510,7 +513,14 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end):
         k = apply_rope(k, freqs)
         kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
         vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
-        y = gqa_attention(q, k, v, mask)
+        if use_flash:
+            from fish_speech_tpu.ops.pallas_attention import (
+                flash_prefill_attention,
+            )
+
+            y = flash_prefill_attention(q, k, v, offsets)
+        else:
+            y = gqa_attention(q, k, v, mask)
         carry = carry + _attn_out(lp, spec, y.reshape(b, t, -1))
         h2 = rms_norm(carry, lp["ffn_norm"], cfg.norm_eps)
         return carry + _ffn(lp, spec, h2), (kc, vc)
