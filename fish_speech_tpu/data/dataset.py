@@ -55,6 +55,52 @@ def expand_proto_files(proto_files: Sequence[str]) -> List[Path]:
     return sorted(out)
 
 
+class _NativeSentence:
+    """Lazy sentence view over the native parser's flat arrays; mimics the
+    protobuf Sentence surface the dataset touches (.texts, .semantics)."""
+
+    __slots__ = ("_data", "_flat", "_s", "_cache")
+
+    def __init__(self, data, flat, s):
+        self._data = data
+        self._flat = flat
+        self._s = s
+        self._cache = None
+
+    def _mat(self):
+        if self._cache is None:
+            from fish_speech_tpu.native import materialize_sentence
+
+            self._cache = materialize_sentence(self._data, self._flat, self._s)
+        return self._cache
+
+    @property
+    def texts(self):
+        return [self._mat()["text"]]
+
+    @property
+    def semantics(self):
+        return self._mat()["semantics"]  # ndarray (rows, T)
+
+
+class _NativeGroup:
+    __slots__ = ("sentences", "source", "name")
+
+    def __init__(self, sentences):
+        self.sentences = sentences
+        self.source = ""
+        self.name = ""
+
+
+def _native_groups(data, flat):
+    import numpy as _np
+
+    srec = flat["sent_record"]
+    for r in range(flat["n_records"]):
+        idx = _np.nonzero(srec == r)[0]
+        yield _NativeGroup([_NativeSentence(data, flat, int(s)) for s in idx])
+
+
 class SemanticIterableDataset:
     """Infinite sampler over packed text+semantic sequences."""
 
@@ -69,7 +115,9 @@ class SemanticIterableDataset:
         skip_text_prob: float = 0.0,
         shard_id: int = 0,
         num_shards: int = 1,
+        use_native_parser: bool = True,
     ):
+        self.use_native_parser = use_native_parser
         self.proto_files = proto_files
         self.tokenizer = tokenizer
         self.seed = seed
@@ -90,11 +138,28 @@ class SemanticIterableDataset:
             files = files * (self.num_shards // max(len(files), 1) + 1)
         files = files[self.shard_id :: self.num_shards]
 
+        native = False
+        if self.use_native_parser:
+            try:
+                from fish_speech_tpu.native import (
+                    fast_parse_available,
+                    parse_shard_flat,
+                )
+
+                native = fast_parse_available()
+            except Exception:
+                native = False
+
         self.groups = []
         for filename in files:
-            with open(filename, "rb") as f:
-                for text_data in read_pb_stream(f):
-                    self.groups.append(text_data)
+            if native:
+                data, flat = parse_shard_flat(filename)
+                for g in _native_groups(data, flat):
+                    self.groups.append(g)
+            else:
+                with open(filename, "rb") as f:
+                    for text_data in read_pb_stream(f):
+                        self.groups.append(text_data)
         Random(self.seed).shuffle(self.groups)
         if not self.groups:
             raise ValueError(f"No data found in {self.proto_files}")
@@ -115,7 +180,13 @@ class SemanticIterableDataset:
             samples = self.rng.choices(
                 group.sentences, k=min(num_samples, len(group.sentences))
             )
-        return SampledData(source=group.source, name=group.name, samples=samples)
+        import types
+
+        return types.SimpleNamespace(
+            source=getattr(group, "source", ""),
+            name=getattr(group, "name", ""),
+            samples=samples,
+        )
 
     def pack_sentences(self, sentences: List[str], semantics, skip_text=False):
         seq = ContentSequence()
@@ -124,9 +195,13 @@ class SemanticIterableDataset:
         cated = " ".join(sentences) if not skip_text else "<|skip_text|>"
         seq.append(TextPart(text=f"<|speaker:user|> {cated}"), add_end=True)
 
-        vq_codes = np.asarray(
-            [list(x.values) for x in semantics[0]], dtype=np.int32
-        )
+        sem0 = semantics[0]
+        if isinstance(sem0, np.ndarray):  # native-parser path
+            vq_codes = sem0.astype(np.int32)
+        else:  # protobuf Sentence.semantics
+            vq_codes = np.asarray(
+                [list(x.values) for x in sem0], dtype=np.int32
+            )
         vq_part = VQPart(codes=vq_codes, cal_loss=True)
         seq.append(
             [TextPart(text="<|speaker:assistant|> <|voice|>"), vq_part],

@@ -84,6 +84,9 @@ class TTSInferenceEngine:
             lambda p, c: dac_from_indices(p, self.codec_cfg, c),
             static_argnums=(),
         )
+        self._encode_jit = jax.jit(
+            lambda p, a: dac_encode(p, self.codec_cfg, a)
+        )
         # code-length buckets so segment decode compiles once per bucket
         # (the codec is causal, so pad-then-slice is EXACT: padded frames
         # cannot affect earlier output samples)
@@ -96,11 +99,22 @@ class TTSInferenceEngine:
     # -- codec glue (reference `vq_manager.py`) --
 
     def encode_reference(self, audio_bytes: bytes) -> np.ndarray:
-        """Audio bytes -> (num_codebooks, T) codes."""
+        """Audio bytes -> (num_codebooks, T) codes.
+
+        Audio is padded to a frame-bucket so the jitted encode compiles once
+        per bucket (the codec encoder is causal, so the padded tail only
+        adds frames past the true length, which are sliced off)."""
         wav = load_audio(audio_bytes, self.codec_cfg.sample_rate)
-        audio = jnp.asarray(wav[None, None, :])
-        codes, lengths = dac_encode(self.codec_params, self.codec_cfg, audio)
-        return np.asarray(codes[0])[:, : int(lengths[0])]
+        frame = self.codec_cfg.frame_length
+        n_frames = max(-(-len(wav) // frame), 1)
+        bucket = next(
+            (b for b in self.code_buckets if n_frames <= b), n_frames
+        )
+        padded = np.zeros(bucket * frame, dtype=np.float32)
+        padded[: len(wav)] = wav
+        audio = jnp.asarray(padded[None, None, :])
+        codes, _ = self._encode_jit(self.codec_params, audio)
+        return np.asarray(codes[0])[:, :n_frames]
 
     def decode_vq_tokens(self, codes: np.ndarray) -> np.ndarray:
         """(num_codebooks, T) codes -> (T_samples,) float waveform."""

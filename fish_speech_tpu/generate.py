@@ -318,6 +318,9 @@ class GenerationSession:
         self.first_chunk_size = first_chunk_size or decode_chunk_size
         # headroom so chunked decode never writes past the buffer
         self.cache_len = self.cfg.max_seq_len + decode_chunk_size
+        self.param_bytes = sum(
+            x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(params)
+        )
         # attention reads only a bucketed prefix of the cache (each distinct
         # bucket is one extra compile; KV reads dominate long-cache decode)
         self.kv_buckets = tuple(
@@ -640,9 +643,15 @@ def generate_long(
             )
             dt = time.perf_counter() - t0
             if logger is not None:
+                tok_s = seq.shape[1] / max(dt, 1e-9)
+                # user-facing perf lines matching the reference's
+                # tokens/sec + model-bandwidth report (inference.py:693-705)
                 logger.info(
-                    "Generated %d columns in %.2fs (%.1f tok/s)",
-                    seq.shape[1], dt, seq.shape[1] / max(dt, 1e-9),
+                    "Generated %d columns in %.2fs (%.1f tok/s, %.1f GB/s, "
+                    "RTF %.3f)",
+                    seq.shape[1], dt, tok_s,
+                    getattr(session, "param_bytes", 0) * tok_s / 1e9,
+                    21.5332 / max(tok_s, 1e-9),
                 )
 
             # Drop the trailing im_end column; keep codebook rows.

@@ -145,3 +145,28 @@ def test_clean_text():
     assert clean_text("x,,,,y") == "x,y"
     # strip happens before emoji removal (reference order), so the space stays
     assert clean_text("hi 😀😀") == "hi "
+
+
+def test_dataset_native_matches_protobuf_path(tmp_path, tokenizer):
+    """Same seed -> identical samples whether shards are parsed natively or
+    via protobuf-python."""
+    from fish_speech_tpu.native import fast_parse_available
+
+    if not fast_parse_available():
+        import pytest
+
+        pytest.skip("native parser unavailable")
+    p = make_proto_file(tmp_path / "d.protos")
+    a = SemanticIterableDataset(
+        [str(p)], tokenizer, max_length=256, num_codebooks=NUM_CODEBOOKS,
+        use_native_parser=True, seed=7,
+    )
+    b = SemanticIterableDataset(
+        [str(p)], tokenizer, max_length=256, num_codebooks=NUM_CODEBOOKS,
+        use_native_parser=False, seed=7,
+    )
+    ia, ib = iter(a), iter(b)
+    for _ in range(3):
+        sa, sb = next(ia), next(ib)
+        np.testing.assert_array_equal(sa["tokens"], sb["tokens"])
+        np.testing.assert_array_equal(sa["labels"], sb["labels"])

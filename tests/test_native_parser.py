@@ -1,0 +1,95 @@
+"""Native C++ shard parser vs the protobuf-python path."""
+
+import time
+
+import numpy as np
+import pytest
+
+from fish_speech_tpu.data.stream import read_pb_stream
+from fish_speech_tpu.native import fast_parse_available, fast_read_shard
+
+from tests.test_data import NUM_CODEBOOKS, make_proto_file
+
+pytestmark = pytest.mark.skipif(
+    not fast_parse_available(), reason="g++/native lib unavailable"
+)
+
+
+def test_native_matches_protobuf(tmp_path):
+    p = make_proto_file(tmp_path / "d.protos", n_groups=3, n_sentences=4)
+    with open(p, "rb") as f:
+        want = list(read_pb_stream(f))
+    got = fast_read_shard(p)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert len(g["sentences"]) == len(w.sentences)
+        for gs, ws in zip(g["sentences"], w.sentences):
+            assert gs["text"] == ws.texts[0]
+            sem = np.asarray(
+                [list(r.values) for r in ws.semantics], dtype=np.int32
+            )
+            np.testing.assert_array_equal(gs["semantics"], sem)
+
+
+def test_native_unicode_text(tmp_path):
+    from fish_speech_tpu.data.protos import Semantics, Sentence, TextData
+    from fish_speech_tpu.data.stream import write_pb_stream
+
+    p = tmp_path / "u.protos"
+    with open(p, "wb") as f:
+        write_pb_stream(
+            f,
+            TextData(
+                source="s", name="n",
+                sentences=[
+                    Sentence(
+                        texts=["你好 wörld"],
+                        semantics=[Semantics(values=[1, 2, 3])],
+                    )
+                ],
+            ),
+        )
+    got = fast_read_shard(p)
+    assert got[0]["sentences"][0]["text"] == "你好 wörld"
+    np.testing.assert_array_equal(
+        got[0]["sentences"][0]["semantics"], [[1, 2, 3]]
+    )
+
+
+def test_native_truncated_stream_rejected(tmp_path):
+    p = make_proto_file(tmp_path / "d.protos", n_groups=1)
+    data = p.read_bytes()
+    bad = tmp_path / "bad.protos"
+    bad.write_bytes(data[:-3])
+    with pytest.raises(ValueError):
+        fast_read_shard(bad)
+
+
+def test_native_speedup(tmp_path):
+    """The point of the native parser: meaningfully faster PARSING than
+    protobuf-python (the dataset materializes only sampled sentences)."""
+    from fish_speech_tpu.native import parse_shard_flat
+
+    rng = np.random.default_rng(0)
+    p = make_proto_file(tmp_path / "big.protos", n_groups=20, n_sentences=50,
+                        rng=rng)
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        with open(p, "rb") as f:
+            py_records = [
+                [
+                    [list(r.values) for r in s.semantics]
+                    for s in td.sentences
+                ]
+                for td in read_pb_stream(f)
+            ]
+    t_py = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        data, flat = parse_shard_flat(p)
+    t_native = time.perf_counter() - t0
+
+    assert flat["n_records"] == len(py_records)
+    assert t_native < t_py, (t_native, t_py)
