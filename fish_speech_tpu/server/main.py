@@ -79,6 +79,9 @@ def build_engine(args):
         session = GenerationSession(
             params, cfg, SamplingConfig(), max_batch=1, dtype=dtype,
             decode_chunk_size=args.decode_chunk_size,
+            # small first chunk: first audio reaches the codec after ~8
+            # frames instead of a full chunk (time-to-first-audio)
+            first_chunk_size=8,
         )
     engine = TTSInferenceEngine(
         session, tokenizer, dac_params, dac_cfg,
