@@ -40,8 +40,9 @@ def _parse():
     parser.add_argument("--steps", type=int, default=128,
                         help="decode steps to time")
     parser.add_argument("--prompt-len", type=int, default=128)
-    parser.add_argument("--chunk", type=int, default=32,
-                        help="decode steps per host sync")
+    parser.add_argument("--chunk", type=int, default=64,
+                        help="decode steps per host sync (each host sync "
+                             "costs ~tens of ms through the device tunnel)")
     parser.add_argument("--batch", type=int, default=8,
                         help="concurrent streams (1 = single-stream latency "
                              "benchmark; >1 = serving throughput per chip)")
@@ -52,6 +53,8 @@ def _parse():
                              "use 2048; smaller context = smaller KV pool)")
     parser.add_argument("--profile", type=str, default=None,
                         help="write a jax.profiler trace to this directory")
+    parser.add_argument("--first-chunk", type=int, default=0,
+                        help="smaller first decode chunk (time-to-first-audio)")
     parser.add_argument("--quant", choices=["none", "int8", "int4", "mixed"],
                         default="int8",
                         help="weight quantization; mixed = slow int8 + fast "
@@ -130,7 +133,7 @@ def run_bench(args):
 
     session = GenerationSession(
         params, cfg, SamplingConfig(), max_batch=args.batch, dtype=dtype,
-        decode_chunk_size=args.chunk,
+        decode_chunk_size=args.chunk, first_chunk_size=args.first_chunk,
     )
 
     # Prompt: plain text ids (no reference audio), mimicking a short request.
@@ -172,8 +175,9 @@ def run_bench(args):
 
     # Time-to-first-chunk (prefill + first decode chunk -> first audio-worth
     # of tokens available to the codec).
+    first = session.first_chunk_size
     t0 = time.perf_counter()
-    _ = run(min(args.chunk, 8), jax.random.PRNGKey(3))
+    _ = run(first + 1, jax.random.PRNGKey(3))
     ttfc = time.perf_counter() - t0
 
     frames_per_s = n_frames / wall

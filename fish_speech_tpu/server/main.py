@@ -112,7 +112,7 @@ def parse_args(argv=None):
     parser.add_argument("--half", action="store_true")
     parser.add_argument("--max-text-length", type=int, default=0)
     parser.add_argument("--references-dir", type=str, default="references")
-    parser.add_argument("--decode-chunk-size", type=int, default=32)
+    parser.add_argument("--decode-chunk-size", type=int, default=64)
     parser.add_argument("--pool-size", type=int, default=1,
                         help=">1 enables continuous batching: a shared "
                              "decode pool serving this many streams")
