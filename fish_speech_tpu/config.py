@@ -74,6 +74,12 @@ class DualARConfig:
     scale_codebook_embeddings: bool = False
     norm_fastlayer_input: bool = False
 
+    # Continuous audio-feature conditioning (AudioPart). 0 disables the
+    # projector. The reference declares this pathway (`llama.py:421-433`,
+    # `content_sequence.py:53-58`) but never initializes the projector and
+    # its encoder raises on AudioPart — here it is fully wired.
+    audio_feature_dim: int = 0
+
     # Fast transformer (None -> inherit from slow at resolve())
     n_fast_layer: int = 4
     fast_dim: Optional[int] = None

@@ -35,6 +35,7 @@ Weight layout (all leaves jnp arrays; L = n_layer stacked axis):
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Optional, Tuple
 
@@ -109,6 +110,12 @@ def init_dual_ar(key, cfg: DualARConfig, dtype=jnp.bfloat16):
     }
     if not cfg.tie_word_embeddings:
         params["output"] = _dense(keys[6], (cfg.dim, cfg.vocab_size), std, dtype)
+    if cfg.audio_feature_dim > 0:
+        params["audio_projector"] = {
+            "w": _dense(jax.random.fold_in(keys[6], 1),
+                        (cfg.audio_feature_dim, cfg.dim), std, dtype),
+            "b": jnp.zeros((cfg.dim,), dtype),
+        }
     if cfg.fast_dim != cfg.dim:
         params["fast"]["project_in"] = {
             "w": _dense(keys[7], (cfg.dim, cfg.fast_dim), std, dtype),
@@ -151,14 +158,24 @@ def init_fast_kv_cache(cfg: DualARConfig, batch: int, dtype=jnp.bfloat16):
 # ---------------------------------------------------------------------------
 
 
-def embed_tokens(params, cfg: DualARConfig, inp):
+def embed_tokens(params, cfg: DualARConfig, inp, audio_features=None,
+                 audio_mask=None):
     """Token + summed codebook embedding, gated by the semantic id range.
 
     Args:
       inp: (B, C+1, T) int32 — row 0 text ids, rows 1..C codebook values.
+      audio_features: optional (B, T, F) continuous features, aligned with
+        the sequence (zeros at non-audio positions; see
+        `sequence.align_audio_features`).
+      audio_mask: (B, T) bool, True where an audio feature replaces the
+        token embedding.
     Returns (B, T, D).
 
-    Reference: `llama.py:326-345, 399-420`.
+    Reference: `llama.py:326-345, 399-433`. The reference's audio branch is
+    dead code (no `audio_projector` in its checkpoints/init, and its
+    `ContentSequence.encode` raises on AudioPart); here the intended
+    semantics are implemented: projected features REPLACE the embedding at
+    masked positions, scaled by 1/sqrt(2) when `scale_codebook_embeddings`.
     """
     codes = inp[:, 1:, :]  # (B, C, T)
     offsets = (jnp.arange(cfg.num_codebooks) * cfg.codebook_size)[None, :, None]
@@ -181,6 +198,26 @@ def embed_tokens(params, cfg: DualARConfig, inp):
     if cfg.scale_codebook_embeddings:
         scale = 1.0 / math.sqrt(cfg.num_codebooks + 1)
         x = jnp.where(is_semantic[..., None], x * scale, x)
+
+    if audio_features is not None:
+        if "audio_projector" not in params:
+            # reference behavior: warn and ignore (`llama.py:433`)
+            logging.getLogger(__name__).warning(
+                "audio_features provided but model has no audio_projector"
+            )
+        else:
+            ap = params["audio_projector"]
+            if audio_features.shape[-1] != ap["w"].shape[0]:
+                raise ValueError(
+                    f"audio_features dim {audio_features.shape[-1]} != "
+                    f"audio_feature_dim {ap['w'].shape[0]}"
+                )
+            proj = audio_features.astype(x.dtype) @ ap["w"] + ap["b"]
+            if cfg.scale_codebook_embeddings:
+                proj = proj / math.sqrt(2)
+            if audio_mask is None:
+                raise ValueError("audio_features requires audio_mask")
+            x = jnp.where(audio_mask[..., None], proj, x)
     return x
 
 
@@ -352,6 +389,8 @@ def forward_train(
     labels=None,
     pad_mask=None,
     remat: Optional[bool] = None,
+    audio_features=None,
+    audio_mask=None,
 ):
     """Full teacher-forced forward.
 
@@ -360,6 +399,8 @@ def forward_train(
       labels: (B, C+1, T) int32 labels (used for fast teacher forcing; row 0
         drives which positions matter — the loss fn applies that mask).
       pad_mask: (B, T) bool, True where PADDING.
+      audio_features/audio_mask: optional continuous conditioning; see
+        `embed_tokens`.
 
     Returns:
       token_logits: (B, T, V) fp32
@@ -373,7 +414,7 @@ def forward_train(
         remat = cfg.use_gradient_checkpointing
     b, _, t = inp.shape
 
-    x = embed_tokens(params, cfg, inp)
+    x = embed_tokens(params, cfg, inp, audio_features, audio_mask)
     freqs = precompute_rope(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)[:t]
     i = jnp.arange(t)
     mask = i[None, :] <= i[:, None]  # (T, T) causal
@@ -470,7 +511,8 @@ def fast_forward_train(params, cfg: DualARConfig, hidden, codebooks, remat=False
 # ---------------------------------------------------------------------------
 
 
-def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end):
+def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end,
+            audio_features=None, audio_mask=None):
     """Run the prompt through the slow transformer, filling the KV cache.
 
     Args:
@@ -490,7 +532,7 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end):
     """
     cfg = cfg.resolve()
     b, _, t = inp.shape
-    x = embed_tokens(params, cfg, inp)
+    x = embed_tokens(params, cfg, inp, audio_features, audio_mask)
     freqs = precompute_rope(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)[:t]
 
     # XLA attention materializes (B,H,T,T) fp32 scores; the Pallas flash

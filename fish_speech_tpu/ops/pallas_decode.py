@@ -4,10 +4,20 @@ a block), so neither the static kv-prefix buckets (one recompile each) nor
 full-cache reads are needed.
 
 Status: semantics verified against the jnp reference in interpret mode
-(tests/test_pallas_decode.py), but compilation through the axon remote
-compiler stalls (>9 min for a single pallas_call at flagship shapes), so the
-production decode path stays on bucketed einsum attention for now. Tracked
-for the next round against a local compiler.
+(tests/test_pallas_decode.py) AND bit-checked on real TPU; compiles fine at
+flagship shapes (L=36,B=8,S=4128,Hkv=8,D=128: 1.5-4.7s). Measured on v5e vs
+the production bucketed-einsum attention (per layer-step, B=8):
+  len  200: flash 103us vs einsum(bucket  512) 102us  (wash)
+  len 1800: flash 374us vs einsum(bucket 2048) 174us  (2.2x slower)
+  len 4000: flash 676us vs einsum(bucket 4128) 262us  (2.6x slower)
+block_s=512 is slightly worse (726us @ len 4000); block_s=1024 exceeds the
+16MB scoped-VMEM limit. Root cause: the (B,) grid serializes batch rows on
+the single v5e core and each block's compute (Hkv x Gp x block matmuls) is
+too small to hide the DMA latency, while XLA's fused attention streams the
+whole bucket at full HBM bandwidth. Production decode therefore stays on
+bucketed einsum attention (models/dual_ar.py:_run_stack_decode); this kernel
+is kept as a verified reference point — it would win on multi-core chips
+(grid parallelism) or much longer contexts where bucket overshoot dominates.
 
 The stacked cache stays in HBM (memory_space=ANY); the kernel double-buffers
 (block, Hkv, D) DMAs and runs an online softmax for all heads of one batch

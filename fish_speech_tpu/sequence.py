@@ -253,6 +253,31 @@ class ContentSequence:
             metadata=self.metadata,
         )
 
+    @staticmethod
+    def align_audio_features(encoded: "EncodedSequence") -> Optional[np.ndarray]:
+        """Scatter the ragged `audio_parts` into a (T, F) buffer aligned with
+        `encoded.tokens`, zeros elsewhere — the static-shape layout
+        `models.dual_ar.embed_tokens` consumes (the reference gathers with a
+        boolean index, `llama.py:427-431`, a dynamic shape; on TPU we keep T
+        static and mask).
+
+        Each AudioPart contributes features[1:-1]: its first/last frames are
+        start/end delimiter positions that keep their token embeddings
+        (`content_sequence.py:224-226`).
+        """
+        if not encoded.audio_parts:
+            return None
+        feat_dim = encoded.audio_parts[0].shape[-1]
+        t = len(encoded.tokens)
+        out = np.zeros((t, feat_dim), dtype=np.float32)
+        inner = np.concatenate(
+            [p[1:-1] if len(p) > 2 else p[:0] for p in encoded.audio_parts]
+        )
+        idx = np.nonzero(encoded.audio_masks)[0]
+        # encode() may trim the final position (add_shift); trim features too
+        out[idx] = inner[: len(idx)]
+        return out
+
     def encode_for_inference(
         self,
         tokenizer: FishTokenizer,
