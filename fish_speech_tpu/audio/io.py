@@ -116,7 +116,22 @@ def resample(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
 
 
 def load_audio(path_or_bytes, target_sr: int) -> np.ndarray:
-    """Read any supported audio, downmix to mono, resample. Returns (T,)."""
-    x, sr = read_wav(path_or_bytes)
+    """Read any supported audio (WAV or FLAC), downmix to mono, resample.
+    Returns (T,)."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        head = bytes(path_or_bytes[:4])
+    else:
+        with open(str(path_or_bytes), "rb") as f:
+            head = f.read(4)
+    if head == b"fLaC":
+        from fish_speech_tpu.audio.transcode import decode_flac_float
+
+        if not isinstance(path_or_bytes, (bytes, bytearray)):
+            with open(str(path_or_bytes), "rb") as f:
+                path_or_bytes = f.read()
+        samples, sr = decode_flac_float(bytes(path_or_bytes))
+        x = samples.T  # (C, T)
+    else:
+        x, sr = read_wav(path_or_bytes)
     mono = x.mean(axis=0) if x.shape[0] > 1 else x[0]
     return resample(mono, sr, target_sr)

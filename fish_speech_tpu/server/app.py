@@ -28,8 +28,10 @@ from typing import Optional
 
 import msgpack
 import numpy as np
+import pydantic
 from aiohttp import web
 
+from fish_speech_tpu.audio import transcode
 from fish_speech_tpu.audio.io import write_wav
 from fish_speech_tpu.engine.tts import TTSInferenceEngine, TTSRequest
 from fish_speech_tpu.server.schema import (
@@ -103,6 +105,10 @@ async def error_middleware(request, handler):
         return await handler(request)
     except web.HTTPException:
         raise
+    except (pydantic.ValidationError, ValueError) as e:
+        # malformed request body/fields are client errors (the reference's
+        # FastAPI layer returns 422 for these; we use 400 consistently)
+        return web.json_response({"error": str(e)}, status=400)
     except Exception as e:
         logger.exception("Unhandled error in %s", request.path)
         return web.json_response({"error": str(e)}, status=500)
@@ -230,9 +236,16 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
             return web.json_response(
                 {"error": "Streaming only supports WAV format"}, status=400
             )
-        if req_model.format in ("mp3", "opus"):
+        if req_model.format not in ("wav", "pcm") and (
+            req_model.format not in transcode.available_formats()
+        ):
             return web.json_response(
-                {"error": f"Format {req_model.format!r} not supported; use wav/pcm"},
+                {
+                    "error": (
+                        f"Format {req_model.format!r} has no encoder backend; "
+                        f"available: {transcode.available_formats()}"
+                    )
+                },
                 status=400,
             )
 
@@ -312,11 +325,19 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
         if ereq.format == "pcm":
             body = (np.clip(audio, -1, 1) * AMPLITUDE).astype(np.int16).tobytes()
             ctype = "audio/pcm"
-        else:
+        elif ereq.format == "wav":
             buf = io.BytesIO()
             _write_wav_buffer(buf, audio, sr)
             body = buf.getvalue()
             ctype = "audio/wav"
+        else:
+            try:
+                body = transcode.encode_audio(audio, sr, ereq.format)
+            except transcode.TranscodeUnavailable as e:
+                return web.json_response({"error": str(e)}, status=400)
+            ctype = {
+                "flac": "audio/flac", "mp3": "audio/mpeg", "opus": "audio/opus"
+            }[ereq.format]
         return web.Response(
             body=body,
             content_type=ctype,

@@ -34,7 +34,11 @@ class ServeReferenceAudio(BaseModel):
 class ServeTTSRequest(BaseModel):
     text: str
     chunk_length: Annotated[int, conint(ge=100, le=1000, strict=True)] = 200
-    format: Literal["wav", "pcm", "mp3", "opus"] = "wav"
+    # reference schema is wav|pcm|mp3|opus (`schema.py:85`); flac is added
+    # here because it has a native zero-dependency encoder (audio/transcode)
+    # and the reference's own server already serves audio/flac content-type
+    # (`api_utils.py:86`)
+    format: Literal["wav", "pcm", "mp3", "opus", "flac"] = "wav"
     latency: Literal["normal", "balanced"] = "normal"
     references: list[ServeReferenceAudio] = []
     reference_id: Optional[str] = None

@@ -129,6 +129,40 @@ def test_tts_msgpack_streaming(engine):
     assert len(body) > 44
 
 
+def test_tts_flac_format(engine):
+    async def fn(client):
+        r = await client.post(
+            "/v1/tts",
+            json={"text": "flac please", "max_new_tokens": 8, "format": "flac"},
+        )
+        return r.status, await r.read(), r.content_type
+
+    status, body, ctype = run_client(engine, fn)
+    assert status == 200 and ctype == "audio/flac"
+    assert body[:4] == b"fLaC"
+    from fish_speech_tpu.audio.transcode import decode_flac
+
+    samples, sr = decode_flac(body)
+    assert sr == engine.sample_rate and samples.shape[0] > 0
+
+
+def test_tts_unavailable_format_names_alternatives(engine):
+    from fish_speech_tpu.audio.transcode import available_formats
+
+    if "opus" in available_formats():  # pragma: no cover
+        import pytest
+
+        pytest.skip("opus backend present in this environment")
+
+    async def fn(client):
+        r = await client.post("/v1/tts", json={"text": "x", "format": "opus"})
+        return r.status, await r.json()
+
+    status, body = run_client(engine, fn)
+    assert status == 400
+    assert "flac" in body["error"]  # lists what IS available
+
+
 def test_tts_rejects_streaming_nonwav(engine):
     async def fn(client):
         r = await client.post(
