@@ -139,23 +139,23 @@ summary{cursor:pointer;color:#aaa}
 #refs{font-size:.85rem;color:#8f8}
 </style></head><body>
 <h2>fish-speech-tpu</h2>
-<label>Text (use &lt;|speaker:N|&gt; tags for multi-speaker)</label>
+<label>[[Text]] (use &lt;|speaker:N|&gt; tags for multi-speaker)</label>
 <textarea id="text" rows="4">Hello! This is a test of the TPU-native fish-speech rebuild.</textarea>
 <div class="row">
-<div><label>Temperature</label><input id="temperature" type="number" value="0.8" step="0.1" min="0.1" max="1.0"></div>
-<div><label>Top-p</label><input id="top_p" type="number" value="0.8" step="0.1" min="0.1" max="1.0"></div>
-<div><label>Repetition penalty</label><input id="repetition_penalty" type="number" value="1.1" step="0.1" min="0.9" max="2.0"></div>
-<div><label>Max new tokens</label><input id="max_new_tokens" type="number" value="512"></div>
+<div><label>[[Temperature]]</label><input id="temperature" type="number" value="0.8" step="0.1" min="0.1" max="1.0"></div>
+<div><label>[[Top-P]]</label><input id="top_p" type="number" value="0.8" step="0.1" min="0.1" max="1.0"></div>
+<div><label>[[Repetition Penalty]]</label><input id="repetition_penalty" type="number" value="1.1" step="0.1" min="0.9" max="2.0"></div>
+<div><label>[[Max new tokens]]</label><input id="max_new_tokens" type="number" value="512"></div>
 </div>
 <div class="row">
-<div><label>Chunk length (bytes)</label><input id="chunk_length" type="number" value="200" min="100" max="1000"></div>
-<div><label>Seed (blank = default)</label><input id="seed" type="number" placeholder=""></div>
-<div><label>Reference ID</label><input id="reference_id" placeholder="(optional)"></div>
-<div><label>Streaming</label><select id="streaming"><option value="false">off</option><option value="true">on</option></select></div>
+<div><label>[[Chunk length (bytes)]]</label><input id="chunk_length" type="number" value="200" min="100" max="1000"></div>
+<div><label>[[Seed]]</label><input id="seed" type="number" placeholder=""></div>
+<div><label>[[Reference ID]]</label><input id="reference_id" placeholder="(optional)"></div>
+<div><label>[[Streaming]]</label><select id="streaming"><option value="false">off</option><option value="true">on</option></select></div>
 </div>
-<details><summary>Reference audio (voice cloning)</summary>
-<label>Audio file (wav)</label><input id="ref_audio" type="file" accept=".wav">
-<label>Reference transcript</label><input id="ref_text" placeholder="what the reference says">
+<details><summary>[[Reference Audio]] (voice cloning)</summary>
+<label>[[Audio file]]</label><input id="ref_audio" type="file" accept=".wav,.flac">
+<label>[[Reference Text]]</label><input id="ref_text" placeholder="what the reference says">
 <div class="row">
 <div><label>Save as ID</label><input id="ref_save_id" placeholder="my-voice"></div>
 <div style="align-self:end"><button class="sec" onclick="saveRef()">Save reference</button></div>
@@ -163,7 +163,7 @@ summary{cursor:pointer;color:#aaa}
 </div>
 <p id="refs"></p>
 </details>
-<button onclick="go()">Synthesize</button>
+<button onclick="go()">[[Synthesize]]</button>
 <p id="status"></p><audio id="player" controls style="width:100%"></audio>
 <script>
 function b64(buf){let s='';new Uint8Array(buf).forEach(b=>s+=String.fromCharCode(b));return btoa(s)}
@@ -209,6 +209,33 @@ async function go(){
 </script></body></html>"""
 
 
+def _render_ui_html() -> str:
+    """Substitute the [[...]] label tokens through the i18n table (reference
+    localizes its Gradio UI the same way, `tools/webui/__init__.py:22-153`)."""
+    from fish_speech_tpu.i18n import i18n
+
+    # literal keys so `python -m fish_speech_tpu.i18n.scan` finds them
+    labels = {
+        "Text": i18n("Text"),
+        "Temperature": i18n("Temperature"),
+        "Top-P": i18n("Top-P"),
+        "Repetition Penalty": i18n("Repetition Penalty"),
+        "Max new tokens": i18n("Max new tokens"),
+        "Chunk length (bytes)": i18n("Chunk length (bytes)"),
+        "Seed": i18n("Seed"),
+        "Reference ID": i18n("Reference ID"),
+        "Streaming": i18n("Streaming"),
+        "Reference Audio": i18n("Reference Audio"),
+        "Audio file": i18n("Audio file"),
+        "Reference Text": i18n("Reference Text"),
+        "Synthesize": i18n("Synthesize"),
+    }
+    html = _UI_HTML
+    for key, val in labels.items():
+        html = html.replace(f"[[{key}]]", val)
+    return html
+
+
 def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
                max_text_length: int = 0) -> web.Application:
     app = web.Application(
@@ -222,7 +249,7 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
         return web.json_response({"status": "ok"})
 
     async def ui(request):
-        return web.Response(text=_UI_HTML, content_type="text/html")
+        return web.Response(text=_render_ui_html(), content_type="text/html")
 
     async def tts(request):
         data = await _parse_body(request)
