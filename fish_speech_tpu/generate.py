@@ -109,10 +109,12 @@ def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
 
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
 def prefill_step(params, cfg: DualARConfig, scfg: SamplingConfig, inp, cache,
-                 offsets, t_end, key, temperature, top_p, top_k):
+                 offsets, t_end, key, temperature, top_p, top_k,
+                 audio_features=None, audio_mask=None):
     """Prefill the cache from the prompt and sample the first column."""
     logits_full, hidden, cache = dual_ar.prefill(
-        params, cfg, inp, cache, offsets, t_end
+        params, cfg, inp, cache, offsets, t_end,
+        audio_features=audio_features, audio_mask=audio_mask,
     )
     # Use the restricted head for sampling (recompute from slow_out).
     # `prefill` already returns hidden == slow_out when norm_fastlayer_input;
@@ -344,10 +346,16 @@ class GenerationSession:
         temperature: float = 1.0,
         top_p: float = 0.9,
         top_k: int = 30,
+        audio_features: Optional[np.ndarray] = None,  # (T, F) prompt-aligned
+        audio_mask: Optional[np.ndarray] = None,  # (T,) bool
     ) -> np.ndarray:
         """Generate until im_end or the token budget; returns (C+1, N) numpy
         columns including the final im_end column (parity with
-        `inference.py:241-359`)."""
+        `inference.py:241-359`).
+
+        audio_features/audio_mask: optional continuous conditioning aligned
+        with the prompt (`ContentSequence.align_audio_features`); requires a
+        model with `audio_feature_dim > 0`."""
         cfg, scfg = self.cfg, self.scfg
         t = prompt.shape[1]
         if t >= cfg.max_seq_len:
@@ -368,10 +376,20 @@ class GenerationSession:
         top_p = jnp.float32(top_p)
         top_k = jnp.int32(top_k)
 
+        feats = mask = None
+        if audio_features is not None:
+            feats_np = np.zeros(
+                (1, bucket, audio_features.shape[-1]), dtype=np.float32
+            )
+            feats_np[0, :t] = audio_features
+            mask_np = np.zeros((1, bucket), dtype=bool)
+            mask_np[0, :t] = audio_mask
+            feats, mask = jnp.asarray(feats_np), jnp.asarray(mask_np)
+
         key, pk = jax.random.split(key)
         column, self.cache = prefill_step(
             self.params, cfg, scfg, jnp.asarray(inp), self.cache, offsets,
-            jnp.int32(t), pk, temperature, top_p, top_k,
+            jnp.int32(t), pk, temperature, top_p, top_k, feats, mask,
         )
         columns = [np.asarray(column)]  # list of (B, C+1)
         if int(column[0, 0]) == cfg.im_end_id:

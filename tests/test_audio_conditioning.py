@@ -127,3 +127,37 @@ def test_align_audio_features_none_without_parts():
     seq.append(TextPart(text="plain"))
     enc = seq.encode(tok)
     assert ContentSequence.align_audio_features(enc) is None
+
+
+def test_generation_session_audio_conditioning():
+    """Session-level API: conditioning steers generation deterministically."""
+    from fish_speech_tpu.config import SamplingConfig
+    from fish_speech_tpu.generate import GenerationSession
+
+    cfg = make_cfg()
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    session = GenerationSession(
+        params, cfg, SamplingConfig(), dtype=jnp.float32, decode_chunk_size=8
+    )
+    rng = np.random.default_rng(3)
+    t = 10
+    prompt = np.zeros((cfg.num_codebooks + 1, t), dtype=np.int32)
+    prompt[0] = rng.integers(4, 200, size=t)
+    feats = rng.normal(size=(t, FEAT)).astype(np.float32) * 3
+    mask = np.zeros(t, dtype=bool)
+    mask[2:7] = True
+
+    out_a = session.generate(
+        prompt, jax.random.PRNGKey(7), max_new_tokens=10,
+        audio_features=feats, audio_mask=mask,
+    )
+    out_b = session.generate(prompt, jax.random.PRNGKey(7), max_new_tokens=10)
+    out_a2 = session.generate(
+        prompt, jax.random.PRNGKey(7), max_new_tokens=10,
+        audio_features=feats, audio_mask=mask,
+    )
+    np.testing.assert_array_equal(out_a, out_a2)  # deterministic
+    assert out_a.shape[0] == cfg.num_codebooks + 1
+    assert not (
+        out_a.shape == out_b.shape and np.array_equal(out_a, out_b)
+    )  # conditioning changed the sampled sequence
