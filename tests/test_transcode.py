@@ -137,3 +137,118 @@ def test_decode_flac_float_scaling():
     out, sr = decode_flac_float(encode_flac(x, 8000))
     np.testing.assert_allclose(out[:, 0], x / 32768.0, atol=1e-7)
     assert sr == 8000
+
+
+# ---------------------------------------------------------------------------
+# Decoder paths our encoder never emits (LPC subframes, stereo decorrelation)
+# -- exercised with hand-built conformant streams, since real-world FLAC
+# uploads use them.
+# ---------------------------------------------------------------------------
+
+import struct
+
+from fish_speech_tpu.audio.transcode import _pack_fields, _utf8_number
+
+
+def _streaminfo(sr, n_ch, bps, n_total, block_size):
+    import io
+    si = io.BytesIO()
+    si.write(struct.pack(">HH", block_size, block_size))
+    si.write(b"\x00\x00\x00" * 2)
+    packed = (sr << 44) | ((n_ch - 1) << 41) | ((bps - 1) << 36) | n_total
+    si.write(packed.to_bytes(8, "big"))
+    si.write(b"\x00" * 16)
+    body = si.getvalue()
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _frame_header(bs, n_ch_code, bps_code=0b100, f_idx=0):
+    hdr = bytearray([0xFF, 0xF8])
+    hdr.append((0b0111 << 4) | 0b0000)
+    hdr.append((n_ch_code << 4) | (bps_code << 1))
+    hdr += _utf8_number(f_idx)
+    hdr += struct.pack(">H", bs - 1)
+    hdr.append(crc8(bytes(hdr)))
+    return bytes(hdr)
+
+
+def _rice0_fields(res, k):
+    vals, nbits = [0b00, 0b0000, k], [2, 4, 4]
+    for r in res:
+        u = (int(r) << 1) ^ (int(r) >> 63)
+        vals.append((1 << k) | (u & ((1 << k) - 1)))
+        nbits.append((u >> k) + 1 + k)
+    return vals, nbits
+
+
+def _build_frame(header, vals, nbits):
+    sub = _pack_fields(
+        np.asarray(vals, dtype=np.uint64), np.asarray(nbits, dtype=np.int64)
+    ).tobytes()
+    frame = header + sub
+    return frame + struct.pack(">H", crc16(frame))
+
+
+def test_decode_lpc_subframe():
+    bs, bps, order, prec, shift = 16, 16, 2, 12, 4
+    qlp = [30, -14]  # x[i] ~ (30*x[i-1] - 14*x[i-2]) >> 4
+    warm = [100, 110]
+    res = list(range(-7, 7))
+    # reconstruct expected
+    want = list(warm)
+    for i in range(order, bs):
+        pred = (qlp[0] * want[i - 1] + qlp[1] * want[i - 2]) >> shift
+        want.append(res[i - order] + pred)
+
+    vals = [0, 0b100000 | (order - 1), 0]
+    nbits = [1, 6, 1]
+    for w in warm:
+        vals.append(w & 0xFFFF)
+        nbits.append(bps)
+    vals += [prec - 1, shift & 0x1F]
+    nbits += [4, 5]
+    for c in qlp:
+        vals.append(c & ((1 << prec) - 1))
+        nbits.append(prec)
+    rv, rb = _rice0_fields(res, k=2)
+    frame = _build_frame(_frame_header(bs, n_ch_code=0), vals + rv, nbits + rb)
+
+    data = _streaminfo(44100, 1, bps, bs, bs) + frame
+    got, sr = decode_flac(data)
+    np.testing.assert_array_equal(got[:, 0], want)
+
+
+def _constant_subframe(value, bps):
+    return [0, 0b000000, 0, value & ((1 << bps) - 1)], [1, 6, 1, bps]
+
+
+@pytest.mark.parametrize(
+    "ch_code,a,b,expect",
+    [
+        (8, 100, 30, (100, 70)),    # left/side: right = left - side
+        (9, 30, 70, (100, 70)),     # right/side: left = right + side
+        (10, 85, 30, (100, 70)),    # mid/side: mid=(l+r)>>1, side=l-r
+    ],
+)
+def test_decode_stereo_decorrelation(ch_code, a, b, expect):
+    bs, bps = 16, 16
+    # second subframe of a decorrelated pair carries bps+1 bits
+    bps_a = bps + (1 if ch_code == 9 else 0)
+    bps_b = bps + (1 if ch_code in (8, 10) else 0)
+    va, na = _constant_subframe(a, bps_a)
+    vb, nb = _constant_subframe(b, bps_b)
+    frame = _build_frame(_frame_header(bs, n_ch_code=ch_code), va + vb, na + nb)
+    data = _streaminfo(44100, 2, bps, bs, bs) + frame
+    got, _ = decode_flac(data)
+    assert (got[:, 0] == expect[0]).all() and (got[:, 1] == expect[1]).all()
+
+
+def test_decode_wasted_bits():
+    bs, bps = 16, 16
+    # constant subframe with 2 wasted bits: value stored >>2, output <<2
+    vals = [0, 0b000000, 1, 0b01, 25 & 0x3FFF]  # wasted flag, unary 1 -> 2
+    nbits = [1, 6, 1, 2, bps - 2]
+    frame = _build_frame(_frame_header(bs, n_ch_code=0), vals, nbits)
+    data = _streaminfo(44100, 1, bps, bs, bs) + frame
+    got, _ = decode_flac(data)
+    assert (got[:, 0] == 100).all()  # 25 << 2
