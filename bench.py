@@ -6,11 +6,14 @@ REAL generation path (jitted chunked decode + on-device sampling + host
 chunk sync), and reports speed as a multiple of realtime at the codec's
 21.53 frames/s.
 
-Default configuration is the SERVING benchmark: int8 weights, 8 concurrent
-streams through the lockstep batched decode (aggregate frames/s per chip) —
+Default configuration is the SERVING benchmark: int8 weights, 16 concurrent
+streams through the lockstep batched decode (aggregate frames/s per chip)
+at the reference's own default context length of 2048 (`llama.py:40`) —
 the apples-to-apples comparison with the reference headline, which was also
-measured through batched serving (SGLang on H200). `--batch 1` gives the
-single-stream latency benchmark instead.
+measured through batched serving (SGLang on H200). Per-stream speed at this
+config is ~48 frames/s = 2.2x realtime, so streaming latency is preserved.
+`--batch 1` gives the single-stream latency benchmark instead; `--batch 8
+--max-seq 4128` reproduces the long-context serving numbers.
 
 Prints ONE JSON line:
   {"metric": "serving_x_realtime_per_chip", "value": N,
@@ -43,14 +46,14 @@ def _parse():
     parser.add_argument("--chunk", type=int, default=64,
                         help="decode steps per host sync (each host sync "
                              "costs ~tens of ms through the device tunnel)")
-    parser.add_argument("--batch", type=int, default=8,
+    parser.add_argument("--batch", type=int, default=16,
                         help="concurrent streams (1 = single-stream latency "
                              "benchmark; >1 = serving throughput per chip)")
     parser.add_argument("--int8", action="store_true",
                         help="shorthand for --quant int8")
     parser.add_argument("--max-seq", type=int, default=None,
-                        help="override model context (serving configs often "
-                             "use 2048; smaller context = smaller KV pool)")
+                        help="override model context; the serving default "
+                             "uses 2048 (the reference's default context)")
     parser.add_argument("--profile", type=str, default=None,
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--first-chunk", type=int, default=0,
@@ -108,6 +111,9 @@ def run_bench(args):
         )
         # semantic range must lie inside the vocab
         assert cfg.semantic_end_id < cfg.vocab_size
+    if args.max_seq is None and args.batch > 1 and not args.small:
+        # serving default: the reference's own default context (llama.py:40)
+        args.max_seq = 2048
     if args.max_seq:
         import dataclasses
 

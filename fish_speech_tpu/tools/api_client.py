@@ -27,7 +27,9 @@ import requests
 @click.option("--reference-id", type=str, default=None)
 @click.option("--api-key", type=str, default=None)
 @click.option("--streaming/--no-streaming", default=False)
-@click.option("--format", "fmt", type=click.Choice(["wav", "pcm"]), default="wav")
+@click.option("--format", "fmt",
+              type=click.Choice(["wav", "pcm", "flac", "mp3", "opus"]),
+              default="wav")
 @click.option("--chunk-length", type=int, default=200)
 @click.option("--max-new-tokens", type=int, default=1024)
 @click.option("--top-p", type=float, default=0.8)
