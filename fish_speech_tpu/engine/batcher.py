@@ -6,7 +6,10 @@ delegated to external SGLang). Here it is first-class:
   * a worker thread owns the device state: a pooled KV cache
     (L, POOL, S, Hkv, Dh) plus per-slot host state;
   * new requests prefill into a scratch cache (bucketed compile) and are
-    inserted into a free slot between decode chunks;
+    inserted into free slots between decode chunks; bursty arrivals are
+    prefetched in GROUPS (one batched right-aligned prefill per prompt
+    bucket, group sizes in {16,4,1}) so admission cost amortizes instead of
+    serializing against the pool decode;
   * every iteration runs one jitted `decode_chunk_multi` over the whole
     pool — each slot has its own position, RNG key, RAS window and sampling
     params; inactive slots are frozen lanes;
@@ -22,6 +25,7 @@ HBM-bandwidth-bound).
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from dataclasses import dataclass, field
@@ -35,9 +39,40 @@ from fish_speech_tpu.config import DualARConfig, SamplingConfig
 from fish_speech_tpu.generate import (
     decode_chunk_multi,
     pick_bucket,
-    prefill_single_into_pool,
+    prefill_group_into_pool,
 )
 from fish_speech_tpu.models import dual_ar
+
+
+@jax.jit
+def _seed_keys(seeds):
+    """Per-request sampling keys from integer seeds (one device call per
+    admission group). Matches the old per-request derivation:
+    split(PRNGKey(seed))[1]."""
+    return jax.vmap(
+        lambda s: jax.random.split(jax.random.PRNGKey(s))[1]
+    )(seeds)
+
+
+@functools.partial(jax.jit, donate_argnums=tuple(range(8)))
+def _apply_admission(token, pos, window, keys, active, temperature, top_p,
+                     top_k, mask, n_token, n_pos, n_keys, n_temp, n_top_p,
+                     n_top_k):
+    """Fold newly admitted rows into the pool's device state in ONE
+    fixed-shape jitted call (all args are full-pool-sized, so this compiles
+    exactly once; eager per-row scatters would recompile per distinct
+    admission-group size — seconds each through this remote compiler)."""
+    m1 = mask[:, None]
+    return (
+        jnp.where(m1, n_token, token),
+        jnp.where(mask, n_pos, pos),
+        jnp.where(m1, 0, window),
+        jnp.where(m1, n_keys, keys),
+        active | mask,
+        jnp.where(mask, n_temp, temperature),
+        jnp.where(mask, n_top_p, top_p),
+        jnp.where(mask, n_top_k, top_k),
+    )
 
 
 @dataclass
@@ -148,68 +183,124 @@ class ContinuousBatcher:
     # -- worker --
 
     def _admit(self):
-        admitted = False
-        while not self.pending.empty():
-            free = [i for i, s in enumerate(self.slots) if not s.active]
-            if not free:
-                break
+        """Admit pending requests into free slots.
+
+        Admissions are PREFILLED IN GROUPS (one batched prefill per prompt
+        bucket, group sizes decomposed into powers of two to bound the
+        compile count): under bursty arrivals, N single-row prefills would
+        otherwise serialize against the pool decode and dominate wall time.
+        The per-request sampling key depends only on the request seed, so
+        outputs are independent of how admissions happen to be grouped.
+        """
+        free = [i for i, s in enumerate(self.slots) if not s.active]
+        batch: List[BatchRequest] = []
+        while len(batch) < len(free) and not self.pending.empty():
             try:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 break
-            slot = free[0]
-            self._prefill_into(slot, req)
-            admitted = True
-        return admitted
+            if req.prompt.shape[1] >= self.cfg.max_seq_len:
+                req.out.put(None)
+                continue
+            batch.append(req)
+        if not batch:
+            return False
 
-    def _prefill_into(self, slot: int, req: BatchRequest):
+        by_bucket = {}
+        for req in batch:
+            b = pick_bucket(req.prompt.shape[1], self.cache_len)
+            by_bucket.setdefault(b, []).append(req)
+        fi = 0
+        for bucket, reqs in sorted(by_bucket.items()):
+            i = 0
+            while i < len(reqs):
+                # group sizes restricted to {16, 4, 1}: bounds both the
+                # compile count and the resident scratch caches per bucket
+                rest = len(reqs) - i
+                k = next(g for g in (16, 4, 1) if g <= rest)
+                group = reqs[i : i + k]
+                i += k
+                rows = free[fi : fi + k]
+                fi += k
+                self._prefill_group(bucket, rows, group)
+        return True
+
+    def _prefill_group(self, bucket: int, rows, reqs):
         cfg, scfg = self.cfg, self.scfg
-        t = req.prompt.shape[1]
-        if t >= cfg.max_seq_len:
-            req.out.put(None)
-            return
-        bucket = pick_bucket(t, self.cache_len)
-        if bucket not in self._scratch:
-            self._scratch[bucket] = dual_ar.init_kv_cache(
-                cfg, 1, self.cache_len, self.dtype
+        k = len(reqs)
+        skey = (k, bucket)
+        if skey not in self._scratch:
+            # group scratch only spans the prompt bucket; decode overwrites
+            # later pool positions before they are ever attended
+            self._scratch[skey] = dual_ar.init_kv_cache(
+                cfg, k, bucket, self.dtype
             )
-        inp = np.zeros((1, cfg.num_codebooks + 1, bucket), np.int32)
-        inp[0, :, :t] = req.prompt
-        key = jax.random.PRNGKey(req.seed)
-        key, pk = jax.random.split(key)
+        inp = np.zeros((k, cfg.num_codebooks + 1, bucket), np.int32)
+        t_ends = np.zeros((k,), np.int32)
+        for j, req in enumerate(reqs):
+            t = req.prompt.shape[1]
+            inp[j, :, :t] = req.prompt
+            t_ends[j] = t
+        pks = _seed_keys(jnp.asarray([r.seed for r in reqs], jnp.uint32))
 
-        column, self.pool, self._scratch[bucket] = prefill_single_into_pool(
-            self.params, cfg, scfg, jnp.asarray(inp), self.pool,
-            self._scratch[bucket], jnp.int32(slot), jnp.int32(t), pk,
-            jnp.float32(req.temperature), jnp.float32(req.top_p),
-            jnp.int32(req.top_k),
+        column, next_keys, self.pool, self._scratch[skey] = (
+            prefill_group_into_pool(
+                self.params, cfg, scfg, jnp.asarray(inp), self.pool,
+                self._scratch[skey], jnp.asarray(rows, jnp.int32),
+                jnp.asarray(t_ends), pks,
+                jnp.asarray([r.temperature for r in reqs], jnp.float32),
+                jnp.asarray([r.top_p for r in reqs], jnp.float32),
+                jnp.asarray([r.top_k for r in reqs], jnp.int32),
+            )
         )
-        col = np.asarray(column)  # (1, C+1)
-        req.out.put(col)  # first frame
+        cols = np.asarray(column)  # (k, C+1)
+        nkeys = np.asarray(next_keys)  # (k, 2)
 
-        budget = (
-            req.max_new_tokens
-            if req.max_new_tokens and t + req.max_new_tokens <= cfg.max_seq_len
-            else cfg.max_seq_len - t
-        )
-        s = self.slots[slot]
-        if int(col[0, 0]) == cfg.im_end_id or budget <= 1:
-            req.out.put(None)
+        # build full-pool-sized update buffers on the host (free), then fold
+        # them into device state with ONE fixed-shape jitted call
+        p = self.pool_size
+        mask = np.zeros((p,), bool)
+        n_token = np.zeros((p, cfg.num_codebooks + 1), np.int32)
+        n_pos = np.zeros((p,), np.int32)
+        n_keys = np.zeros((p, 2), np.uint32)
+        n_temp = np.zeros((p,), np.float32)
+        n_top_p = np.zeros((p,), np.float32)
+        n_top_k = np.zeros((p,), np.int32)
+        for j, req in enumerate(reqs):
+            req.out.put(cols[j : j + 1])  # first frame
+            t = int(t_ends[j])
+            budget = (
+                req.max_new_tokens
+                if req.max_new_tokens and t + req.max_new_tokens <= cfg.max_seq_len
+                else cfg.max_seq_len - t
+            )
+            if int(cols[j, 0]) == cfg.im_end_id or budget <= 1:
+                req.out.put(None)
+                continue
+            s = self.slots[rows[j]]
+            s.active = True
+            s.request = req
+            s.pos = t
+            s.budget_left = budget - 1
+            r = rows[j]
+            mask[r] = True
+            n_token[r] = cols[j]
+            n_pos[r] = t
+            n_keys[r] = nkeys[j]
+            n_temp[r] = req.temperature
+            n_top_p[r] = req.top_p
+            n_top_k[r] = req.top_k
+
+        if not mask.any():
             return
-        s.active = True
-        s.request = req
-        s.pos = t
-        s.budget_left = budget - 1
-
-        # device state updates for this slot
-        self.token = self.token.at[slot].set(column[0])
-        self.pos = self.pos.at[slot].set(t)
-        self.window = self.window.at[slot].set(0)
-        self.keys = self.keys.at[slot].set(key)  # legacy uint32[2] key
-        self.active = self.active.at[slot].set(True)
-        self.temperature = self.temperature.at[slot].set(req.temperature)
-        self.top_p = self.top_p.at[slot].set(req.top_p)
-        self.top_k = self.top_k.at[slot].set(req.top_k)
+        (self.token, self.pos, self.window, self.keys, self.active,
+         self.temperature, self.top_p, self.top_k) = _apply_admission(
+            self.token, self.pos, self.window, self.keys, self.active,
+            self.temperature, self.top_p, self.top_k,
+            jnp.asarray(mask), jnp.asarray(n_token), jnp.asarray(n_pos),
+            jnp.asarray(n_keys), jnp.asarray(n_temp), jnp.asarray(n_top_p),
+            jnp.asarray(n_top_k),
+        )
 
     def _loop(self):
         cfg = self.cfg

@@ -291,6 +291,40 @@ def prefill_single_into_pool(params, cfg: DualARConfig, scfg: SamplingConfig,
     return column, pool, scratch
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4, 5))
+def prefill_group_into_pool(params, cfg: DualARConfig, scfg: SamplingConfig,
+                            inp, pool, scratch, rows, t_ends, keys,
+                            temperature, top_p, top_k):
+    """Prefill a GROUP of k requests in one pass and scatter their caches
+    into pool rows `rows`.
+
+    Amortizes the admission cost under bursty arrivals: the reference
+    delegates this to SGLang's batched prefill (README.md:130-137); here it
+    is first-party. Prompts are right-aligned at [0, t_ends[i]) inside a
+    shared bucket (inp (k, C+1, bucket)) — with per-row positions, the plain
+    causal mask already isolates rows (see dual_ar.prefill). `scratch` is a
+    (L, k, bucket, H, D) cache donated across calls of the same (k, bucket).
+
+    Returns (first_columns (k, C+1), next_keys (k, 2), pool, scratch).
+    """
+    k = inp.shape[0]
+    logits_full, hidden, scratch = dual_ar.prefill(
+        params, cfg, inp, scratch, jnp.zeros((k,), jnp.int32), t_ends
+    )
+    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
+    logits = jnp.concatenate(
+        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
+        axis=1,
+    )
+    window = jnp.zeros((k, scfg.ras_win_size), jnp.int32)  # empty -> no RAS
+    column, next_keys = _sample_column_rows(
+        params, cfg, scfg, logits, hidden, window, keys,
+        temperature, top_p, top_k, None,
+    )
+    pool = dual_ar.insert_cache_rows(pool, scratch, rows)
+    return column, next_keys, pool, scratch
+
+
 # ---------------------------------------------------------------------------
 # Host-side generation driver
 # ---------------------------------------------------------------------------

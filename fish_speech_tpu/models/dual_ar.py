@@ -523,12 +523,19 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end,
         any decode query can see them).
       cache: slow KV cache dict, seq axis >= Tpad.
       offsets: (B,) int32 per-row start positions (0 for single-stream).
-      t_end: scalar int32 — common end position; logits/hidden are taken at
-        t_end - 1.
+      t_end: scalar int32 — common end position — or (B,) int32 per-row end
+        positions (right-aligned prompts at [0, t_end[i]); used by the
+        continuous-batching group prefill, where each row keeps its own
+        position counter so no common end is needed). Logits/hidden are
+        taken at t_end - 1 (per row).
 
     Returns (logits_last (B, V fp32), hidden_last (B, D), cache).
     Left-alignment keeps RoPE relative distances exact within each row for
-    mixed-length lockstep batches (the gap sits BEFORE the prompt).
+    mixed-length lockstep batches (the gap sits BEFORE the prompt). With
+    per-row t_end and zero offsets, the plain causal mask already isolates
+    each prompt: pad slots sit AFTER a row's prompt, are never attended by
+    its real queries, and are overwritten by decode before they become
+    visible.
     """
     cfg = cfg.resolve()
     b, _, t = inp.shape
@@ -570,7 +577,8 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end,
     x, (k_new, v_new) = lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
     cache = {"k": k_new, "v": v_new}
 
-    idx = jnp.full((b, 1, 1), t_end - 1, dtype=jnp.int32)
+    t_last = jnp.broadcast_to(jnp.asarray(t_end, jnp.int32) - 1, (b,))
+    idx = t_last.reshape(b, 1, 1)
     x_last = jnp.take_along_axis(x, idx, axis=1)[:, 0]  # (B, D)
     slow_out = rms_norm(x_last, params["norm"], cfg.norm_eps)
     logits = _lm_head(params, cfg, slow_out[:, None])[:, 0]
@@ -664,6 +672,18 @@ def insert_cache_slot(pool, single, slot):
         "v": lax.dynamic_update_slice(
             pool["v"], single["v"].astype(pool["v"].dtype), (0, slot, 0, 0, 0)
         ),
+    }
+
+
+def insert_cache_rows(pool, group, rows):
+    """Scatter a k-row group cache (L, k, S', H, D) into pool rows `rows`
+    ((k,) int32). S' may be smaller than the pool's seq axis (the group
+    prefill only fills its prompt bucket; later positions are written by
+    decode before they are ever attended)."""
+    s = group["k"].shape[2]
+    return {
+        "k": pool["k"].at[:, rows, :s].set(group["k"].astype(pool["k"].dtype)),
+        "v": pool["v"].at[:, rows, :s].set(group["v"].astype(pool["v"].dtype)),
     }
 
 

@@ -97,3 +97,38 @@ def test_more_requests_than_slots(batcher):
     assert len(outs) == 7
     for out in outs:
         _check(cfg, out)
+
+
+def test_grouped_admission_matches_solo(batcher):
+    """A request's output must not depend on how its admission was grouped
+    (the per-row sampling key derives only from the request seed)."""
+    import threading
+
+    cfg = batcher.cfg
+    rng = np.random.default_rng(9)
+    prompts = []
+    for t in (6, 9, 12, 7, 11):
+        p = np.zeros((cfg.num_codebooks + 1, t), dtype=np.int32)
+        p[0] = rng.integers(4, 200, size=t)
+        prompts.append(p)
+
+    # solo: submit sequentially (each admitted alone)
+    solo = [
+        batcher.generate(p, max_new_tokens=6, seed=50 + i)
+        for i, p in enumerate(prompts)
+    ]
+
+    # burst: submit all at once (admitted as a group)
+    results = [None] * len(prompts)
+
+    def go(i):
+        results[i] = batcher.generate(prompts[i], max_new_tokens=6, seed=50 + i)
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(len(prompts))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    for i, (a, b) in enumerate(zip(solo, results)):
+        np.testing.assert_array_equal(a, b, err_msg=f"request {i}")
