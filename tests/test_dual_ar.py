@@ -199,3 +199,47 @@ def test_param_count_tiny(setup):
     assert n > 0
     # embeddings alone
     assert n > cfg.vocab_size * cfg.dim
+
+
+def test_prefill_per_row_t_end_matches_single(setup):
+    """Grouped right-aligned prefill (per-row t_end, zero offsets) must give
+    each row exactly what a solo prefill of that prompt gives: same last
+    logits/hidden and the same cache prefix [0, t_i)."""
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    lens = [6, 12, 9]
+    bucket = 16
+    b = len(lens)
+    inp = np.zeros((b, cfg.num_codebooks + 1, bucket), dtype=np.int32)
+    prompts = []
+    for i, t in enumerate(lens):
+        p = random_prompt(cfg, t, rng=rng)
+        prompts.append(p)
+        inp[i, :, :t] = p
+
+    cache = dual_ar.init_kv_cache(cfg, b, 32, dtype=jnp.float32)
+    logits, hidden, cache = dual_ar.prefill(
+        params, cfg, jnp.asarray(inp), cache, jnp.zeros((b,), jnp.int32),
+        jnp.asarray(lens, jnp.int32),
+    )
+
+    for i, (t, p) in enumerate(zip(lens, prompts)):
+        sin = np.zeros((1, cfg.num_codebooks + 1, bucket), dtype=np.int32)
+        sin[0, :, :t] = p
+        c1 = dual_ar.init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+        l1, h1, c1 = dual_ar.prefill(
+            params, cfg, jnp.asarray(sin), c1, jnp.zeros((1,), jnp.int32),
+            jnp.int32(t),
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits[i]), np.asarray(l1[0]), rtol=2e-5, atol=2e-5,
+            err_msg=f"row {i} logits",
+        )
+        np.testing.assert_allclose(
+            np.asarray(hidden[i]), np.asarray(h1[0]), rtol=2e-5, atol=2e-5,
+            err_msg=f"row {i} hidden",
+        )
+        np.testing.assert_allclose(
+            np.asarray(cache["k"][:, i, :t]), np.asarray(c1["k"][:, 0, :t]),
+            rtol=2e-5, atol=2e-5, err_msg=f"row {i} cache",
+        )
