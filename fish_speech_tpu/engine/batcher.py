@@ -107,26 +107,51 @@ class BatcherSession:
         self.cfg = batcher.cfg
         self.scfg = batcher.scfg
 
-    def generate(self, prompt, key, max_new_tokens=0, temperature=1.0,
-                 top_p=0.9, top_k=30):
+    @staticmethod
+    def _seed_of(key):
         k = np.asarray(key).reshape(-1)
-        seed = int(k[0] ^ (k[-1] << 1)) & 0x7FFFFFFF
+        return int(k[0] ^ (k[-1] << 1)) & 0x7FFFFFFF
+
+    def generate(self, prompt, key, max_new_tokens=0, temperature=1.0,
+                 top_p=0.9, top_k=30, **_):
         return self.batcher.generate(
             prompt, max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p, top_k=top_k, seed=seed,
+            top_p=top_p, top_k=top_k, seed=self._seed_of(key),
         )
+
+    def generate_stream(self, prompt, key, max_new_tokens=0, temperature=1.0,
+                        top_p=0.9, top_k=30, **_):
+        """Yield CUMULATIVE (C+1, n) columns as the pool emits this
+        request's chunks (same contract as GenerationSession.generate_stream)."""
+        req = BatchRequest(
+            prompt=prompt, max_new_tokens=max_new_tokens,
+            temperature=temperature, top_p=top_p, top_k=top_k,
+            seed=self._seed_of(key),
+        )
+        out = self.batcher.submit(req)
+        chunks = []
+        while True:
+            item = out.get()
+            if item is None:
+                break
+            chunks.append(item)
+            yield np.concatenate(chunks, axis=0).T
+        if not chunks:
+            yield np.zeros((self.cfg.num_codebooks + 1, 0), np.int32)
 
 
 class ContinuousBatcher:
     def __init__(self, params, cfg: DualARConfig, scfg: SamplingConfig = None,
                  pool_size: int = 4, dtype=jnp.bfloat16,
-                 decode_chunk_size: int = 16, idle_sleep: float = 0.002):
+                 decode_chunk_size: int = 16, first_chunk_size: int = 0,
+                 idle_sleep: float = 0.002):
         self.params = params
         self.cfg = cfg.resolve()
         self.scfg = scfg or SamplingConfig()
         self.dtype = dtype
         self.pool_size = pool_size
         self.chunk = decode_chunk_size
+        self.first_chunk = first_chunk_size or decode_chunk_size
         self.idle_sleep = idle_sleep
         self.cache_len = self.cfg.max_seq_len + decode_chunk_size
         self.kv_buckets = tuple(
@@ -305,22 +330,27 @@ class ContinuousBatcher:
     def _loop(self):
         cfg = self.cfg
         while not self._stop.is_set():
-            self._admit()
+            admitted = self._admit()
             if not any(s.active for s in self.slots):
                 self._wake.wait(timeout=0.1)
                 self._wake.clear()
                 continue
 
+            # streaming latency: right after an admission, run a SHORT chunk
+            # so the new request's first audio-worth of frames reaches its
+            # queue quickly; steady state uses the full chunk (one extra
+            # compile, same pattern as GenerationSession's first_chunk_size)
+            n = self.first_chunk if admitted else self.chunk
             max_pos = max(
                 (s.pos for s in self.slots if s.active), default=0
             )
             kv_len = next(
-                (b for b in self.kv_buckets if max_pos + self.chunk + 1 <= b),
+                (b for b in self.kv_buckets if max_pos + n + 1 <= b),
                 self.cache_len,
             )
             (cols, self.token, self.pool, self.pos, self.window, self.keys,
              self.active) = decode_chunk_multi(
-                self.params, cfg, self.scfg, self.chunk, self.token,
+                self.params, cfg, self.scfg, n, self.token,
                 self.pool, self.pos, self.window, self.keys, self.active,
                 self.temperature, self.top_p, self.top_k, kv_len,
             )
@@ -337,12 +367,12 @@ class ContinuousBatcher:
                 slot_cols = cols_np[:, i]  # (n, C+1)
                 ends = np.nonzero(slot_cols[:, 0] == cfg.im_end_id)[0]
                 n_emit = min(
-                    int(ends[0]) + 1 if len(ends) else self.chunk,
+                    int(ends[0]) + 1 if len(ends) else n,
                     s.budget_left,
                 )
                 if n_emit > 0:
                     s.request.out.put(slot_cols[:n_emit])
-                s.budget_left -= self.chunk
+                s.budget_left -= n
                 finished = len(ends) > 0 or s.budget_left <= 0 or not bool(
                     still_active[i]
                 )

@@ -161,6 +161,7 @@ class TTSInferenceEngine:
         lock = (
             _NullLock() if getattr(self.session, "concurrent", False) else self.lock
         )
+        emitted = 0  # samples of the in-progress segment already streamed
         try:
             with lock:
                 for response in generate_long(
@@ -175,15 +176,31 @@ class TTSInferenceEngine:
                     prompt_text=list(prompt_texts) or None,
                     prompt_tokens=list(prompt_tokens) or None,
                     seed=req.seed if req.seed is not None else 42,
+                    stream_partials=req.streaming,
                 ):
+                    if response.action == "partial":
+                        # per-decode-chunk streaming: decode the cumulative
+                        # prefix (the codec is causal, so earlier samples are
+                        # stable to float precision as the prefix grows) and
+                        # emit only the new samples
+                        full = self.decode_vq_tokens(response.codes)
+                        if len(full) > emitted:
+                            yield InferenceResult(
+                                code="segment",
+                                audio=(self.sample_rate, full[emitted:]),
+                            )
+                            emitted = len(full)
+                        continue
                     if response.action != "sample":
                         continue
                     segment = self.decode_vq_tokens(response.codes)
                     segments.append(segment)
-                    if req.streaming:
+                    if req.streaming and len(segment) > emitted:
                         yield InferenceResult(
-                            code="segment", audio=(self.sample_rate, segment)
+                            code="segment",
+                            audio=(self.sample_rate, segment[emitted:]),
                         )
+                    emitted = 0  # next text segment starts fresh
         except Exception as e:
             yield InferenceResult(code="error", audio=None, error=e)
             return

@@ -390,6 +390,31 @@ class GenerationSession:
         audio_features/audio_mask: optional continuous conditioning aligned
         with the prompt (`ContentSequence.align_audio_features`); requires a
         model with `audio_feature_dim > 0`."""
+        last = None
+        for last in self.generate_stream(
+            prompt, key, max_new_tokens=max_new_tokens,
+            temperature=temperature, top_p=top_p, top_k=top_k,
+            audio_features=audio_features, audio_mask=audio_mask,
+        ):
+            pass
+        return last
+
+    def generate_stream(
+        self,
+        prompt: np.ndarray,  # (C+1, T) int32
+        key,
+        max_new_tokens: int = 0,
+        temperature: float = 1.0,
+        top_p: float = 0.9,
+        top_k: int = 30,
+        audio_features: Optional[np.ndarray] = None,
+        audio_mask: Optional[np.ndarray] = None,
+    ):
+        """Streaming variant of `generate`: yields the CUMULATIVE (C+1, n)
+        columns after the prefill frame and after every decode chunk (the
+        last yield is the complete sequence). Drives per-decode-chunk audio
+        streaming in the TTS engine — sub-second first audio instead of
+        waiting for the whole text segment."""
         cfg, scfg = self.cfg, self.scfg
         t = prompt.shape[1]
         if t >= cfg.max_seq_len:
@@ -426,8 +451,9 @@ class GenerationSession:
             jnp.int32(t), pk, temperature, top_p, top_k, feats, mask,
         )
         columns = [np.asarray(column)]  # list of (B, C+1)
+        yield np.concatenate(columns, axis=0).T
         if int(column[0, 0]) == cfg.im_end_id:
-            return np.concatenate(columns, axis=0).T  # (C+1, 1)
+            return
 
         pos = jnp.int32(t)
         token = column
@@ -452,10 +478,10 @@ class GenerationSession:
             if ends.any():
                 stop = int(np.argmax(ends))
                 columns.append(cols[: stop + 1])
-                break
+                yield np.concatenate(columns, axis=0).T
+                return
             columns.append(cols)
-
-        return np.concatenate(columns, axis=0).T  # (C+1, N)
+            yield np.concatenate(columns, axis=0).T
 
     def generate_batch(
         self,
@@ -638,10 +664,17 @@ def generate_long(
     prompt_tokens: Optional[Union[np.ndarray, List[np.ndarray]]] = None,
     seed: int = 42,
     logger=None,
+    stream_partials: bool = False,
 ) -> Generator[GenerateResponse, None, None]:
     """Chunked long-form generation: split text on speaker tags, batch turns,
     generate sequentially, carrying generated codes forward as conversation
-    context so later chunks condition on earlier audio."""
+    context so later chunks condition on earlier audio.
+
+    stream_partials: additionally yield action="partial" responses with the
+    CUMULATIVE codes of the in-progress segment after every decode chunk
+    (sub-second first audio; the reference streams only whole segments,
+    `inference.py:485-520`). The closing action="sample" repeats the full
+    segment codes as before."""
     assert 0 < top_p <= 1, "top_p must be in (0, 1]"
     assert 0 < temperature < 2, "temperature must be in (0, 2)"
 
@@ -689,10 +722,29 @@ def generate_long(
 
             t0 = time.perf_counter()
             key, gk = jax.random.split(key)
-            seq = session.generate(
-                encoded, gk, max_new_tokens=max_new_tokens,
-                temperature=temperature, top_p=top_p, top_k=top_k,
-            )
+            if stream_partials:
+                seq = None
+                for seq in session.generate_stream(
+                    encoded, gk, max_new_tokens=max_new_tokens,
+                    temperature=temperature, top_p=top_p, top_k=top_k,
+                ):
+                    n_p = seq.shape[1]
+                    end_p = (
+                        n_p - 1
+                        if n_p and int(seq[0, -1]) == cfg.im_end_id
+                        else n_p
+                    )
+                    if end_p > 0:
+                        yield GenerateResponse(
+                            action="partial",
+                            codes=np.ascontiguousarray(seq[1:, :end_p]),
+                            text=batch_text,
+                        )
+            else:
+                seq = session.generate(
+                    encoded, gk, max_new_tokens=max_new_tokens,
+                    temperature=temperature, top_p=top_p, top_k=top_k,
+                )
             dt = time.perf_counter() - t0
             if logger is not None:
                 tok_s = seq.shape[1] / max(dt, 1e-9)

@@ -73,6 +73,7 @@ def build_engine(args):
         batcher = ContinuousBatcher(
             params, cfg, SamplingConfig(), pool_size=args.pool_size,
             dtype=dtype, decode_chunk_size=args.decode_chunk_size,
+            first_chunk_size=8,
         )
         session = BatcherSession(batcher)
     else:

@@ -132,3 +132,43 @@ def test_grouped_admission_matches_solo(batcher):
 
     for i, (a, b) in enumerate(zip(solo, results)):
         np.testing.assert_array_equal(a, b, err_msg=f"request {i}")
+
+
+def test_first_chunk_ramp():
+    """With first_chunk_size set, a fresh request's first streamed chunk is
+    small; totals and determinism are unchanged."""
+    from fish_speech_tpu.config import SamplingConfig, dual_ar_tiny
+    from fish_speech_tpu.engine.batcher import BatchRequest, ContinuousBatcher
+    from fish_speech_tpu.models import dual_ar
+    import jax, jax.numpy as jnp
+
+    cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=331, im_end_id=3)
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    bt = ContinuousBatcher(params, cfg, SamplingConfig(), pool_size=2,
+                           dtype=jnp.float32, decode_chunk_size=12,
+                           first_chunk_size=3)
+    try:
+        rng = np.random.default_rng(4)
+        p = np.zeros((cfg.num_codebooks + 1, 7), dtype=np.int32)
+        p[0] = rng.integers(4, 200, size=7)
+        req = BatchRequest(prompt=p, max_new_tokens=20, seed=5)
+        out_q = bt.submit(req)
+        chunks = []
+        while True:
+            item = out_q.get(timeout=60)
+            if item is None:
+                break
+            chunks.append(item)
+        # first chunk after the prefill frame is the ramped small one
+        assert chunks[0].shape[0] == 1  # prefill frame
+        if len(chunks) > 1:
+            assert chunks[1].shape[0] <= 3
+        total = sum(c.shape[0] for c in chunks)
+        assert 1 <= total <= 20
+        # determinism across the ramp
+        again = bt.generate(p, max_new_tokens=20, seed=5)
+        np.testing.assert_array_equal(
+            np.concatenate(chunks, axis=0).T, again
+        )
+    finally:
+        bt.shutdown()

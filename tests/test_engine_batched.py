@@ -68,3 +68,22 @@ def test_engine_concurrent_through_batcher(engine):
     assert len(outs) == 4
     for codes in outs.values():
         assert codes[-1] == "final"
+
+
+def test_engine_streaming_per_decode_chunk(engine):
+    """Streaming yields MULTIPLE segment events per text segment (one per
+    decode chunk) and their concatenation matches the non-streaming audio
+    for the same seed."""
+    req = dict(text="stream this text", max_new_tokens=12, seed=9)
+    stream = list(engine.inference(TTSRequest(streaming=True, **req)))
+    segs = [r for r in stream if r.code == "segment"]
+    assert [r.code for r in stream][0] == "header"
+    assert len(segs) >= 2, "expected per-decode-chunk segments"
+    streamed = np.concatenate([r.audio[1] for r in segs], axis=0)
+
+    plain = list(engine.inference(TTSRequest(streaming=False, **req)))
+    final = [r for r in plain if r.code == "final"][0]
+    np.testing.assert_allclose(
+        streamed, final.audio[1], atol=1e-5,
+        err_msg="streamed segments must reassemble the full waveform",
+    )

@@ -118,3 +118,25 @@ def test_generate_long_voice_clone_prompt(session, tokenizer):
     )
     samples = [r for r in responses if r.action == "sample"]
     assert len(samples) == 1
+
+
+def test_generate_stream_cumulative(session):
+    """generate_stream yields growing cumulative prefixes; the last equals
+    generate() for the same key."""
+    cfg = session.cfg
+    rng = np.random.default_rng(11)
+    prompt = np.zeros((cfg.num_codebooks + 1, 8), dtype=np.int32)
+    prompt[0] = rng.integers(4, 200, size=8)
+
+    outs = list(
+        session.generate_stream(
+            prompt, jax.random.PRNGKey(3), max_new_tokens=18
+        )
+    )
+    assert len(outs) >= 2  # prefill frame + at least one chunk
+    for a, b in zip(outs, outs[1:]):
+        assert b.shape[1] > a.shape[1]
+        np.testing.assert_array_equal(a, b[:, : a.shape[1]])  # true prefixes
+
+    full = session.generate(prompt, jax.random.PRNGKey(3), max_new_tokens=18)
+    np.testing.assert_array_equal(outs[-1], full)
