@@ -252,3 +252,20 @@ def test_decode_wasted_bits():
     data = _streaminfo(44100, 1, bps, bs, bs) + frame
     got, _ = decode_flac(data)
     assert (got[:, 0] == 100).all()  # 25 << 2
+
+
+def test_pack_fields_property():
+    """Vectorized bit packer == naive bit-string reference on random
+    variable-width fields."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(1, 200))
+        nbits = rng.integers(1, 48, size=n)
+        vals = np.array(
+            [int(rng.integers(0, 1 << int(b))) for b in nbits], dtype=np.uint64
+        )
+        got = _pack_fields(vals, nbits.astype(np.int64))
+        bits = "".join(format(int(v), f"0{int(b)}b") for v, b in zip(vals, nbits))
+        bits += "0" * (-len(bits) % 8)
+        want = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+        assert got.tobytes() == want, f"trial {trial}"
