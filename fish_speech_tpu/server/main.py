@@ -94,13 +94,41 @@ def build_engine(args):
 def warm_up(engine):
     """Full synthesis pass at startup: triggers prefill + decode + codec
     compiles so the first request is fast (reference
-    `model_manager.py:80-93`)."""
+    `model_manager.py:80-93`). With a pooled session, also fires a
+    concurrent burst so the group-admission prefill shapes (k in {16,4,1})
+    compile now instead of on the first production burst."""
+    import threading
+
     from fish_speech_tpu.engine.tts import TTSRequest
 
     t0 = time.time()
     for result in engine.inference(TTSRequest(text="Hello world.", max_new_tokens=32)):
         if result.code == "error":
             raise RuntimeError(f"Warmup failed: {result.error}")
+
+    if getattr(engine.session, "concurrent", False):
+        pool = engine.session.batcher.pool_size
+        n_burst = min(pool, 16) + (4 if pool > 4 else 0) + 1
+        errors = []
+
+        def one(i):
+            try:
+                for r in engine.inference(
+                    TTSRequest(text="Warm up the admission pool.",
+                               max_new_tokens=16, seed=i)
+                ):
+                    if r.code == "error":
+                        errors.append(r.error)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(n_burst)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        if errors:
+            raise RuntimeError(f"Pool warmup failed: {errors[0]}")
     logger.info("Warmup finished in %.1fs", time.time() - t0)
 
 
