@@ -10,6 +10,13 @@ Layout contract (per 2D weight):
   p:  (I/2, O) uint8 — low nibble = row i, high nibble = row i + I/2
   gs: (I/g, O) f32   — group scales over the ORIGINAL row index
 Constraint: (I/2) % g == 0 so groups never straddle the half split.
+
+Measured status (v5e, 4.96B model): SLOWER than int8 at every batch —
+single stream AND 16-stream serving (586 f/s int4 / 682 mixed / 840 int8).
+The ~5 VPU ops per weight element for the nibble unpack are the bottleneck
+and do not amortize with batch (unpack cost is per weight tile, but the
+VPU, not HBM, is the limiting engine once weights are int4). Kept as an
+opt-in (`--quant int4|mixed`) for memory-constrained deployments.
 """
 
 from __future__ import annotations
