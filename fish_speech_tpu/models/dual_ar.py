@@ -159,7 +159,7 @@ def init_fast_kv_cache(cfg: DualARConfig, batch: int, dtype=jnp.bfloat16):
 
 
 def embed_tokens(params, cfg: DualARConfig, inp, audio_features=None,
-                 audio_mask=None):
+                 audio_mask=None, inference=True):
     """Token + summed codebook embedding, gated by the semantic id range.
 
     Args:
@@ -169,6 +169,10 @@ def embed_tokens(params, cfg: DualARConfig, inp, audio_features=None,
         `sequence.align_audio_features`).
       audio_mask: (B, T) bool, True where an audio feature replaces the
         token embedding.
+      inference: the reference applies `scale_codebook_embeddings` only on
+        the generate path (`llama.py:415-419`), NOT in its training `embed()`
+        (`llama.py:326-345`); `forward_train` passes False to byte-match the
+        reference trainer's gradients for scaled checkpoints.
     Returns (B, T, D).
 
     Reference: `llama.py:326-345, 399-433`. The reference's audio branch is
@@ -195,7 +199,7 @@ def embed_tokens(params, cfg: DualARConfig, inp, audio_features=None,
         la = params["lora_embeddings"]
         x = x + cfg.lora_scale * (jnp.take(la["a"], main, axis=0) @ la["b"])
     x = x + vq_sum
-    if cfg.scale_codebook_embeddings:
+    if cfg.scale_codebook_embeddings and inference:
         scale = 1.0 / math.sqrt(cfg.num_codebooks + 1)
         x = jnp.where(is_semantic[..., None], x * scale, x)
 
@@ -414,7 +418,8 @@ def forward_train(
         remat = cfg.use_gradient_checkpointing
     b, _, t = inp.shape
 
-    x = embed_tokens(params, cfg, inp, audio_features, audio_mask)
+    x = embed_tokens(params, cfg, inp, audio_features, audio_mask,
+                     inference=False)
     freqs = precompute_rope(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)[:t]
     i = jnp.arange(t)
     mask = i[None, :] <= i[:, None]  # (T, T) causal

@@ -58,7 +58,7 @@ def forward_train_naive(params, cfg: DualARConfig, inp, pad_mask=None,
     """
     cfg = cfg.resolve()
     b, _, t = inp.shape
-    x = embed_tokens(params, cfg, inp)
+    x = embed_tokens(params, cfg, inp, inference=False)
     freqs = precompute_rope(cfg.max_seq_len, cfg.head_dim, cfg.rope_base)[:t]
     i = jnp.arange(t)
     mask = i[None, :] <= i[:, None]

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # jit-compile heavy; fast tier skips with -m 'not heavy'
+
 from fish_speech_tpu.config import SamplingConfig, dual_ar_tiny
 from fish_speech_tpu.engine.batcher import BatchRequest, ContinuousBatcher
 from fish_speech_tpu.models import dual_ar

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import msgpack
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.heavy  # jit-compile heavy; fast tier skips with -m 'not heavy'
 from aiohttp.test_utils import TestClient, TestServer
 
 from fish_speech_tpu.audio.io import write_wav

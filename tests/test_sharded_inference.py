@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.heavy  # jit-compile heavy; fast tier skips with -m 'not heavy'
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fish_speech_tpu.config import SamplingConfig, dual_ar_tiny
