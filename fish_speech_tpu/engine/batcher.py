@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fish_speech_tpu.config import DualARConfig, SamplingConfig
+from fish_speech_tpu.ops.sampling import check_top_k
 from fish_speech_tpu.generate import (
     decode_chunk_multi,
     pick_bucket,
@@ -182,6 +183,7 @@ class ContinuousBatcher:
     def submit(self, request: BatchRequest) -> "queue.Queue":
         """Queue a request; returns its output queue ((n, C+1) arrays,
         terminated by None)."""
+        check_top_k(request.top_k)
         self.pending.put(request)
         self._wake.set()
         return request.out

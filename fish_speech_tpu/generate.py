@@ -34,7 +34,8 @@ import numpy as np
 
 from fish_speech_tpu.config import DualARConfig, GenerateConfig, SamplingConfig
 from fish_speech_tpu.models import dual_ar
-from fish_speech_tpu.ops.sampling import ras_select, sample_topk, topk_state
+from fish_speech_tpu.ops.sampling import (check_top_k, ras_select,
+                                           sample_topk, topk_state)
 from fish_speech_tpu.sequence import Conversation, Message, TextPart, VQPart
 from fish_speech_tpu.tokenizer import FishTokenizer
 
@@ -416,6 +417,7 @@ class GenerationSession:
         streaming in the TTS engine — sub-second first audio instead of
         waiting for the whole text segment."""
         cfg, scfg = self.cfg, self.scfg
+        check_top_k(top_k)
         t = prompt.shape[1]
         if t >= cfg.max_seq_len:
             raise ValueError(
@@ -426,7 +428,9 @@ class GenerationSession:
         else:
             budget = cfg.max_seq_len - t
 
-        bucket = pick_bucket(t, self.cache_len)
+        # clamp to max_seq_len: the rope table is sized to it, and an odd
+        # (non-bucket) max_seq_len would otherwise pick a larger bucket
+        bucket = min(pick_bucket(t, self.cache_len), cfg.max_seq_len)
         inp = np.zeros((1, cfg.num_codebooks + 1, bucket), dtype=np.int32)
         inp[0, :, :t] = prompt
         offsets = jnp.zeros((1,), dtype=jnp.int32)
@@ -499,6 +503,7 @@ class GenerationSession:
         own im_end.
         """
         cfg, scfg = self.cfg, self.scfg
+        check_top_k(top_k)
         b = len(prompts)
         lens = [p.shape[1] for p in prompts]
         t_max = max(lens)
@@ -510,7 +515,7 @@ class GenerationSession:
             else cfg.max_seq_len - t_max
         )
 
-        bucket = pick_bucket(t_max, self.cache_len)
+        bucket = min(pick_bucket(t_max, self.cache_len), cfg.max_seq_len)
         inp = np.zeros((b, cfg.num_codebooks + 1, bucket), dtype=np.int32)
         offsets_np = np.asarray([t_max - l for l in lens], dtype=np.int32)
         for i, p in enumerate(prompts):

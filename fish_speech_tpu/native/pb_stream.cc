@@ -52,8 +52,12 @@ static inline bool skip_field(const uint8_t* data, int64_t size, int64_t* pos,
       return *pos <= size;
     case 2:  // length-delimited
       if (!read_varint(data, size, pos, &tmp)) return false;
+      // Validate as unsigned against remaining bytes BEFORE adding: a
+      // malicious/corrupt varint near 2^64 would overflow the signed add,
+      // go negative, pass `<= size`, and index out of bounds.
+      if (tmp > static_cast<uint64_t>(size - *pos)) return false;
       *pos += static_cast<int64_t>(tmp);
-      return *pos <= size;
+      return true;
     case 5:  // fixed32
       *pos += 4;
       return *pos <= size;
@@ -90,7 +94,9 @@ int64_t fs_index_records(const uint8_t* data, int64_t size, int64_t* offsets,
 // ---------------------------------------------------------------------------
 
 // Parse Semantics { 1: repeated uint32 values } into values[]; returns count
-// written or -1 on error/overflow.
+// written, -1 on a wire error, or -3 on output-capacity overflow. The two
+// MUST stay distinct: callers grow buffers and retry on -3, but a wire
+// error on corrupt input must raise, not retry forever.
 static int64_t parse_semantics(const uint8_t* data, int64_t size,
                                int32_t* values, int64_t cap) {
   int64_t pos = 0;
@@ -103,18 +109,18 @@ static int64_t parse_semantics(const uint8_t* data, int64_t size,
     if (field == 1 && wire == 2) {  // packed
       uint64_t len;
       if (!read_varint(data, size, &pos, &len)) return -1;
+      if (len > static_cast<uint64_t>(size - pos)) return -1;
       int64_t end = pos + static_cast<int64_t>(len);
-      if (end > size) return -1;
       while (pos < end) {
         uint64_t v;
         if (!read_varint(data, size, &pos, &v)) return -1;
-        if (n >= cap) return -1;
+        if (n >= cap) return -3;
         values[n++] = static_cast<int32_t>(v);
       }
     } else if (field == 1 && wire == 0) {  // unpacked
       uint64_t v;
       if (!read_varint(data, size, &pos, &v)) return -1;
-      if (n >= cap) return -1;
+      if (n >= cap) return -3;
       values[n++] = static_cast<int32_t>(v);
     } else {
       if (!skip_field(data, size, &pos, wire)) return -1;
@@ -148,8 +154,8 @@ int32_t fs_parse_text_data(const uint8_t* data, int64_t size, int32_t* values,
     if (field == 4 && wire == 2) {  // Sentence
       uint64_t slen;
       if (!read_varint(data, size, &pos, &slen)) return -2;
+      if (slen > static_cast<uint64_t>(size - pos)) return -2;
       int64_t send = pos + static_cast<int64_t>(slen);
-      if (send > size) return -2;
       if (n_sent >= text_cap) return -3;
       text_spans[2 * n_sent] = -1;
       text_spans[2 * n_sent + 1] = 0;
@@ -164,7 +170,7 @@ int32_t fs_parse_text_data(const uint8_t* data, int64_t size, int32_t* values,
         if (sfield == 1 && swire == 2) {  // text
           uint64_t tlen;
           if (!read_varint(data, size, &sp, &tlen)) return -2;
-          if (sp + static_cast<int64_t>(tlen) > size) return -2;
+          if (tlen > static_cast<uint64_t>(size - sp)) return -2;
           if (sent_text_count[n_sent] == 0) {
             text_spans[2 * n_sent] = sp;
             text_spans[2 * n_sent + 1] = static_cast<int64_t>(tlen);
@@ -174,12 +180,13 @@ int32_t fs_parse_text_data(const uint8_t* data, int64_t size, int32_t* values,
         } else if (sfield == 3 && swire == 2) {  // Semantics row
           uint64_t mlen;
           if (!read_varint(data, size, &sp, &mlen)) return -2;
-          if (sp + static_cast<int64_t>(mlen) > size) return -2;
+          if (mlen > static_cast<uint64_t>(size - sp)) return -2;
           if (n_rows >= row_cap) return -3;
           row_starts[n_rows] = n_vals;
           row_sentence[n_rows] = n_sent;
           int64_t wrote = parse_semantics(data + sp, static_cast<int64_t>(mlen),
                                           values + n_vals, val_cap - n_vals);
+          if (wrote == -3) return -3;
           if (wrote < 0) return -4;
           n_vals += wrote;
           n_rows++;
@@ -214,7 +221,8 @@ int32_t fs_parse_text_data(const uint8_t* data, int64_t size, int32_t* values,
 //   text_spans[2*sent_cap]        (abs offset, length) of first text per
 //                                 sentence (into `data`)
 //   out_counts = {n_records, n_sentences, n_rows, n_values}
-// Returns 0 ok, -1 wire error, -3 capacity overflow (caller grows+retries).
+// Returns 0 ok, -1/-4 wire error (caller raises), -3 capacity overflow
+// (caller grows + retries).
 int32_t fs_parse_shard(const uint8_t* data, int64_t size, int32_t* values,
                        int64_t val_cap, int64_t* row_starts,
                        int64_t* row_sentence, int64_t row_cap,
@@ -238,8 +246,8 @@ int32_t fs_parse_shard(const uint8_t* data, int64_t size, int32_t* values,
       if (field == 4 && wire == 2) {  // Sentence
         uint64_t slen;
         if (!read_varint(data, rend, &p, &slen)) return -1;
+        if (slen > static_cast<uint64_t>(rend - p)) return -1;
         int64_t send = p + static_cast<int64_t>(slen);
-        if (send > rend) return -1;
         if (n_sent >= sent_cap) return -3;
         sent_record[n_sent] = n_rec;
         text_spans[2 * n_sent] = -1;
@@ -254,7 +262,7 @@ int32_t fs_parse_shard(const uint8_t* data, int64_t size, int32_t* values,
           if (sfield == 1 && swire == 2) {
             uint64_t tlen;
             if (!read_varint(data, send, &sp, &tlen)) return -1;
-            if (sp + static_cast<int64_t>(tlen) > send) return -1;
+            if (tlen > static_cast<uint64_t>(send - sp)) return -1;
             if (!have_text) {
               text_spans[2 * n_sent] = sp;
               text_spans[2 * n_sent + 1] = static_cast<int64_t>(tlen);
@@ -264,15 +272,15 @@ int32_t fs_parse_shard(const uint8_t* data, int64_t size, int32_t* values,
           } else if (sfield == 3 && swire == 2) {
             uint64_t mlen;
             if (!read_varint(data, send, &sp, &mlen)) return -1;
-            if (sp + static_cast<int64_t>(mlen) > send) return -1;
+            if (mlen > static_cast<uint64_t>(send - sp)) return -1;
             if (n_rows >= row_cap) return -3;
             row_starts[n_rows] = n_vals;
             row_sentence[n_rows] = n_sent;
             int64_t wrote =
                 parse_semantics(data + sp, static_cast<int64_t>(mlen),
                                 values + n_vals, val_cap - n_vals);
-            if (wrote == -1 && val_cap - n_vals <= 0) return -3;
-            if (wrote < 0) return -3;  // treat overflow inside as capacity
+            if (wrote == -3) return -3;  // capacity: caller grows + retries
+            if (wrote < 0) return -4;    // wire error: caller must raise
             n_vals += wrote;
             n_rows++;
             sp += static_cast<int64_t>(mlen);

@@ -61,12 +61,30 @@ def sample(key, logits, temperature, top_p, top_k):
 TOP_K_CAP = 64  # static top-k width for the fast path (runtime top_k <= cap)
 
 
+def check_top_k(top_k, k_cap: int = TOP_K_CAP):
+    """Host-side validation for the decode fast path's static top-k cap.
+
+    `sample_topk` evaluates the top-p cutoff over only the top-`k_cap`
+    logits; a runtime top_k > k_cap would silently clamp AND truncate the
+    nucleus for flat distributions. Generation entry points call this with
+    the user's Python-int top_k before tracing so the request fails loudly
+    instead (`sample()` remains available for full-vocab sampling)."""
+    if int(top_k) > k_cap:
+        raise ValueError(
+            f"top_k={int(top_k)} exceeds the decode fast path's static cap "
+            f"{k_cap} (top-p is evaluated over the top-{k_cap} logits). "
+            f"Use top_k <= {k_cap}."
+        )
+
+
 def topk_state(logits, k_cap: int = TOP_K_CAP):
     """Precompute the top-k view of logits for (multiple) fast samples.
 
     Returns (vals (..., k) desc-sorted, idx (..., k), lse (...)).
     Exactly equivalent to the full-sort path whenever top_k <= k_cap: every
-    rank >= k_cap is >= top_k and would be filtered anyway.
+    rank >= k_cap is >= top_k and would be filtered anyway. For
+    top_k > k_cap the result diverges (the nucleus is truncated at rank
+    k_cap); entry points reject such requests via `check_top_k`.
     """
     lf = logits.astype(jnp.float32)
     vals, idx = jax.lax.top_k(lf, min(k_cap, logits.shape[-1]))

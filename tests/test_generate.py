@@ -140,3 +140,22 @@ def test_generate_stream_cumulative(session):
 
     full = session.generate(prompt, jax.random.PRNGKey(3), max_new_tokens=18)
     np.testing.assert_array_equal(outs[-1], full)
+
+
+def test_odd_max_seq_len_bucket_clamped():
+    """A non-power-of-two max_seq_len must not pick a prompt bucket larger
+    than the rope table (ADVICE r1: bucket 4096 for max_seq_len 3000)."""
+    from fish_speech_tpu.generate import pick_bucket
+
+    cache_len = 272 + 32  # odd max_seq_len 272 + decode chunk
+    assert min(pick_bucket(270, cache_len), 272) == 272
+
+    cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=331, im_end_id=3,
+                       max_seq_len=200)  # not a bucket boundary
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    session = GenerationSession(params, cfg, max_batch=1, dtype=jnp.float32,
+                                decode_chunk_size=8)
+    prompt = np.zeros((cfg.num_codebooks + 1, 150), dtype=np.int32)
+    prompt[0] = np.arange(150) % 90 + 5
+    out = session.generate(prompt, jax.random.PRNGKey(1), max_new_tokens=4)
+    assert out.shape[0] == cfg.num_codebooks + 1

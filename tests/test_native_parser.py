@@ -93,3 +93,54 @@ def test_native_speedup(tmp_path):
 
     assert flat["n_records"] == len(py_records)
     assert t_native < t_py, (t_native, t_py)
+
+
+def test_native_malicious_varint_length_rejected(tmp_path):
+    """A corrupt length varint near 2^64 must raise (wire error), not pass
+    the bounds check via signed overflow or loop forever in the loader's
+    grow-and-retry path."""
+    import struct
+
+    # record body: field 4 (Sentence), wire 2, length = 2^63 (10-byte varint)
+    huge = b"\x22" + b"\xff\xff\xff\xff\xff\xff\xff\xff\x7f"
+    rec = huge + b"\x00" * 16
+    p = tmp_path / "evil.protos"
+    p.write_bytes(struct.pack("<I", len(rec)) + rec)
+    with pytest.raises(ValueError):
+        fast_read_shard(p)
+
+
+def test_native_corrupt_semantics_row_rejected(tmp_path):
+    """A Semantics row whose packed length overflows must be a wire error
+    (raise), NOT a capacity signal (-3) that doubles buffers forever."""
+    import struct
+
+    # Sentence { Semantics-row field 3 wire 2 } whose inner packed field 1
+    # declares a huge length.
+    inner = b"\x0a" + b"\xff\xff\xff\xff\xff\xff\xff\xff\x7f"  # field1 len 2^63
+    sem_row = b"\x1a" + bytes([len(inner)]) + inner  # field 3, wire 2
+    sentence = b"\x22" + bytes([len(sem_row)]) + sem_row  # field 4, wire 2
+    p = tmp_path / "evil2.protos"
+    p.write_bytes(struct.pack("<I", len(sentence)) + sentence)
+    with pytest.raises(ValueError):
+        fast_read_shard(p)
+
+
+def test_native_capacity_growth_still_works(tmp_path):
+    """Legit oversized rows still succeed through the grow-and-retry path."""
+    from fish_speech_tpu.data.protos import Semantics, Sentence, TextData
+    from fish_speech_tpu.data.stream import write_pb_stream
+
+    p = tmp_path / "big_row.protos"
+    big = list(range(200_000))  # larger than the loader's initial value cap
+    with open(p, "wb") as f:
+        write_pb_stream(
+            f,
+            TextData(
+                source="s", name="n",
+                sentences=[Sentence(texts=["t"],
+                                    semantics=[Semantics(values=big)])],
+            ),
+        )
+    got = fast_read_shard(p)
+    np.testing.assert_array_equal(got[0]["sentences"][0]["semantics"][0], big)

@@ -56,3 +56,15 @@ def test_sample_topk_greedy_at_low_temp():
     for i in range(5):
         k = jax.random.PRNGKey(i)
         assert int(sample_topk(k, state, 0.01, 1.0, 10)) == 42
+
+
+def test_top_k_above_cap_rejected():
+    """Runtime top_k > TOP_K_CAP must fail loudly at the entry points, not
+    silently truncate the nucleus to the top-64 logits."""
+    import pytest
+
+    from fish_speech_tpu.ops.sampling import TOP_K_CAP, check_top_k
+
+    check_top_k(TOP_K_CAP)  # at the cap: fine
+    with pytest.raises(ValueError, match="top_k"):
+        check_top_k(TOP_K_CAP + 1)
