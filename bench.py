@@ -90,6 +90,73 @@ def main():
                 raise
 
 
+def _bench_params(cfg, dtype, quant: str):
+    """Random benchmark weights with the EXACT pytree structure/dtypes of
+    init_dual_ar (+ quantization), generated in ONE jitted program.
+
+    Round-1 lesson: eager per-leaf init + per-leaf quantization through the
+    device tunnel cost 117 s (every distinct eager op shape is a separate
+    remote compile). Here the target structure comes from jax.eval_shape
+    (zero compute) and a single jit fills every leaf — int8/uint8 leaves get
+    uniform quantized values, scale leaves get the positive magnitude a
+    quantized N(0, std) weight would have, norm gains ~1, floats N(0, std).
+    Statistically equivalent for throughput while keeping logits sane.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.models import dual_ar
+    from fish_speech_tpu.ops.quant import (quantize_dual_ar, quantize_int8,
+                                           quantize_layer_stack)
+
+    def build(key):
+        p = dual_ar.init_dual_ar(key, cfg, dtype=dtype)
+        if quant == "none":
+            return p
+        if quant == "mixed":  # slow int8 + fast int4 (quantize_dual_ar_lowmem's split)
+            out = dict(p)
+            out["layers"] = quantize_layer_stack(p["layers"], mode="int8")
+            fast = dict(p["fast"])
+            fast["layers"] = quantize_layer_stack(fast["layers"], mode="int4")
+            fast["output"] = quantize_int8(fast["output"])
+            out["fast"] = fast
+            if "output" in out and not isinstance(out["output"], dict):
+                out["output"] = quantize_int8(out["output"])
+            return out
+        return quantize_dual_ar(p, mode=quant)
+
+    target = jax.eval_shape(build, jax.random.PRNGKey(0))
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(target)
+    std = cfg.initializer_range
+
+    def gen(key):
+        keys = jax.random.split(key, len(paths_leaves))
+        vals = []
+        for k, (path, leaf) in zip(keys, paths_leaves):
+            names = [getattr(e, "key", "") for e in path]
+            last = names[-1] if names else ""
+            if leaf.dtype == jnp.int8:
+                v = jax.random.randint(k, leaf.shape, -127, 128,
+                                       jnp.int32).astype(jnp.int8)
+            elif leaf.dtype == jnp.uint8:
+                v = jax.random.randint(k, leaf.shape, 0, 256,
+                                       jnp.int32).astype(jnp.uint8)
+            elif last in ("s", "gs"):  # quantization scales: absmax/levels
+                lv = 127.0 if last == "s" else 7.0
+                v = jnp.full(leaf.shape, 4.0 * std / lv, leaf.dtype)
+            elif "norm" in last:  # rms-norm gains sit near 1
+                v = jnp.ones(leaf.shape, leaf.dtype)
+            elif last in ("b", "bqkv", "bo"):
+                v = jnp.zeros(leaf.shape, leaf.dtype)
+            else:
+                v = std * jax.random.normal(k, leaf.shape, jnp.float32)
+                v = v.astype(leaf.dtype)
+            vals.append(v)
+        return jax.tree_util.tree_unflatten(treedef, vals)
+
+    return jax.jit(gen)(jax.random.PRNGKey(0))
+
+
 def run_bench(args):
 
     import jax
@@ -121,15 +188,8 @@ def run_bench(args):
 
     dtype = jnp.bfloat16
     t0 = time.perf_counter()
-    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    params = _bench_params(cfg, dtype, args.quant)
     n_params = dual_ar.param_count(params)
-    if args.quant != "none":
-        from fish_speech_tpu.ops.quant import quantize_dual_ar_lowmem
-
-        if args.quant == "mixed":
-            params = quantize_dual_ar_lowmem(params, mode="int8", fast_mode="int4")
-        else:
-            params = quantize_dual_ar_lowmem(params, mode=args.quant)
     jax.block_until_ready(params)
     print(
         f"# init: {n_params/1e9:.2f}B params in {time.perf_counter()-t0:.1f}s "

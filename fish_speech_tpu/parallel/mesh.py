@@ -96,13 +96,20 @@ def kv_cache_specs():
     return {"k": P(None, "dp", None, "tp", None), "v": P(None, "dp", None, "tp", None)}
 
 
-def batch_spec():
-    """Training batch dict specs: shard the batch axis over dp."""
-    return {
+def batch_spec(accum: bool = False):
+    """Training batch dict specs: shard the batch axis over dp.
+
+    accum=True prepends an unsharded microbatch axis (gradient
+    accumulation: the train step scans over it; each microbatch stays
+    dp-sharded on its own batch axis)."""
+    spec = {
         "inputs": P("dp", None, None),
         "labels": P("dp", None, None),
         "pad_mask": P("dp", None),
     }
+    if accum:
+        spec = {k: P(None, *s) for k, s in spec.items()}
+    return spec
 
 
 def shard_params(params, cfg: DualARConfig, mesh: Mesh):

@@ -23,6 +23,8 @@ import click
 @click.option("--output", type=str, default="results/finetune")
 @click.option("--max-steps", type=int, default=10000)
 @click.option("--batch-size", type=int, default=4)
+@click.option("--grad-accum", type=int, default=1,
+              help="microbatches accumulated per optimizer step")
 @click.option("--max-length", type=int, default=4096)
 @click.option("--lr", type=float, default=1e-4)
 @click.option("--warmup-steps", type=int, default=100)
@@ -40,7 +42,7 @@ import click
 @click.option("--tiny", is_flag=True, help="tiny random model (dev smoke run)")
 @click.option("--no-resume", is_flag=True)
 def main(checkpoint_path, data_paths, val_paths, output, max_steps, batch_size,
-         max_length, lr, warmup_steps, ckpt_every, val_every, lora_r,
+         grad_accum, max_length, lr, warmup_steps, ckpt_every, val_every, lora_r,
          lora_alpha, lora_targets, dp, tp, seed, precision, tiny, no_resume):
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
@@ -90,7 +92,8 @@ def main(checkpoint_path, data_paths, val_paths, output, max_steps, batch_size,
 
     tcfg = TrainConfig(
         output_dir=output, project="run", max_steps=max_steps,
-        batch_size=batch_size, max_length=max_length, lr=lr,
+        batch_size=batch_size, grad_accum_steps=grad_accum,
+        max_length=max_length, lr=lr,
         warmup_steps=warmup_steps, ckpt_every_steps=ckpt_every,
         val_every_steps=val_every, seed=seed, precision=precision,
         dp=dp, tp=tp, lora=lora,

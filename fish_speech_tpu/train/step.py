@@ -63,18 +63,48 @@ def make_optimizer(
     return optax.chain(*txs)
 
 
-def make_train_step(cfg: DualARConfig, optimizer, trainable_filter=None):
+def make_train_step(cfg: DualARConfig, optimizer, trainable_filter=None,
+                    grad_accum: int = 1):
     """Build a jittable train step.
 
     trainable_filter: optional pytree of bool (same structure as params);
     False leaves get zero gradient (used by LoRA fine-tuning).
+
+    grad_accum: microbatches accumulated per optimizer step (Lightning's
+    `accumulate_grad_batches`, reference `text2semantic_finetune.yaml:11`).
+    When > 1, every batch leaf carries a leading axis of that size and the
+    step `lax.scan`s over microbatches — activation memory stays one
+    microbatch wide, gradients accumulate in float32 in a single
+    params-sized buffer — then applies ONE update with the mean gradient
+    (per-microbatch-mean averaging, matching Lightning/DDP semantics).
     """
 
     def train_step(params, opt_state, batch):
-        def loss_fn(p):
-            return dual_ar_loss(p, cfg, batch)
+        def loss_fn(p, mb):
+            return dual_ar_loss(p, cfg, mb)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if grad_accum == 1:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch)
+        else:
+            def body(gsum, mb):
+                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb
+                )
+                gsum = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(jnp.float32), gsum, g
+                )
+                return gsum, dict(m)
+
+            gz = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params
+            )
+            gsum, ms = jax.lax.scan(body, gz, batch)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / grad_accum).astype(p.dtype), gsum, params
+            )
+            metrics = {k: jnp.mean(v) for k, v in ms.items()}
         if trainable_filter is not None:
             grads = jax.tree_util.tree_map(
                 lambda g, t: g if t else jnp.zeros_like(g), grads, trainable_filter

@@ -49,6 +49,9 @@ class TrainConfig:
     output_dir: str = "results"
     max_steps: int = 10000
     batch_size: int = 4
+    # microbatches accumulated per optimizer step (Lightning's
+    # accumulate_grad_batches, ref configs/text2semantic_finetune.yaml)
+    grad_accum_steps: int = 1
     max_length: int = 4096
     lr: float = 1e-4
     weight_decay: float = 0.01
@@ -139,9 +142,12 @@ class Trainer:
         self.params = jax.tree_util.tree_map(jax.device_put, params, pspecs)
         self.opt_state = self.optimizer.init(self.params)
         self.bspecs = to_named(mesh, batch_spec())
+        self.accum = max(train_cfg.grad_accum_steps, 1)
+        self.bspecs_accum = to_named(mesh, batch_spec(accum=True))
 
         self.train_step = jax.jit(
-            make_train_step(self.cfg, self.optimizer, trainable_filter=trainable),
+            make_train_step(self.cfg, self.optimizer, trainable_filter=trainable,
+                            grad_accum=self.accum),
             donate_argnums=(0, 1),
         )
         self.step = 0
@@ -212,11 +218,21 @@ class Trainer:
 
         train_iter = iter(train_loader)
         while self.step < tcfg.max_steps:
-            batch = next(train_iter)
-            batch = {
-                k: jax.device_put(jnp.asarray(v), self.bspecs[k])
-                for k, v in batch.items()
-            }
+            if self.accum > 1:
+                micro = [next(train_iter) for _ in range(self.accum)]
+                batch = {
+                    k: jax.device_put(
+                        jnp.stack([jnp.asarray(m[k]) for m in micro]),
+                        self.bspecs_accum[k],
+                    )
+                    for k in micro[0]
+                }
+            else:
+                batch = next(train_iter)
+                batch = {
+                    k: jax.device_put(jnp.asarray(v), self.bspecs[k])
+                    for k, v in batch.items()
+                }
             self.params, self.opt_state, metrics = self.train_step(
                 self.params, self.opt_state, batch
             )

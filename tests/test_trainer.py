@@ -138,3 +138,69 @@ def test_lora_training_only_updates_lora(tokenizer, tmp_path):
             assert same, f"base weight changed: {path_b}"
             unchanged_base += 1
     assert changed_lora > 0 and unchanged_base > 0
+
+
+def test_grad_accum_matches_big_batch(tokenizer):
+    """N accumulated microbatches == one N-x batch: same loss trajectory and
+    (near-)identical params. Exact when every microbatch carries the same
+    loss-token count, so build batches with NO ignored positions."""
+    cfg = make_cfg(tokenizer)
+    rng = np.random.default_rng(3)
+    b, t = 4, 24
+    inputs = np.zeros((b, cfg.num_codebooks + 1, t), dtype=np.int32)
+    inputs[:, 0] = rng.integers(4, 200, size=(b, t))
+    labels = inputs.copy()
+    full = {"inputs": inputs, "labels": labels,
+            "pad_mask": np.zeros((b, t), dtype=bool)}
+    stacked = {k: v.reshape(2, 2, *v.shape[1:]) for k, v in full.items()}
+
+    def run(step_fn, batch, n=4):
+        params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg,
+                                      dtype=jnp.float32)
+        opt = make_optimizer(lr=1e-3, params=params)
+        opt_state = opt.init(params)
+        losses = []
+        for _ in range(n):
+            params, opt_state, m = step_fn(params, opt_state,
+                                           {k: jnp.asarray(v) for k, v in batch.items()})
+            losses.append(float(m["loss"]))
+        return params, losses
+
+    opt_probe = make_optimizer(lr=1e-3)
+    step_big = jax.jit(make_train_step(cfg, make_optimizer(lr=1e-3)))
+    step_acc = jax.jit(make_train_step(cfg, make_optimizer(lr=1e-3),
+                                       grad_accum=2))
+    p_big, l_big = run(step_big, full)
+    p_acc, l_acc = run(step_acc, stacked)
+
+    np.testing.assert_allclose(l_acc, l_big, rtol=1e-5, atol=1e-5)
+    for (path1, a), (_, b_) in zip(
+        jax.tree_util.tree_flatten_with_path(p_big)[0],
+        jax.tree_util.tree_flatten_with_path(p_acc)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(path1))
+
+
+def test_trainer_grad_accum_loop(tokenizer, tmp_path):
+    """Trainer.fit with grad_accum_steps pulls N microbatches per step and
+    converges on a fixed batch."""
+    cfg = make_cfg(tokenizer)
+    tcfg = TrainConfig(
+        output_dir=str(tmp_path), project="acc", max_steps=6, batch_size=2,
+        grad_accum_steps=2, lr=1e-2, warmup_steps=0, log_every_steps=2,
+        ckpt_every_steps=100, precision="float32", dp=2,
+    )
+    trainer = Trainer(cfg, tcfg)
+    batch = make_batch(cfg)
+
+    def loader():
+        while True:
+            yield batch
+
+    trainer.fit(loader(), resume=False)
+    log = (tmp_path / "acc" / "metrics.jsonl").read_text().strip().splitlines()
+    import json as _json
+
+    recs = [_json.loads(x) for x in log if "loss" in _json.loads(x)]
+    assert recs and recs[-1]["loss"] < recs[0]["loss"]
