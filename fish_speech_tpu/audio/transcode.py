@@ -9,9 +9,11 @@ dispatch layer:
   - flac:      native, implemented here from scratch (subset encoder with
                fixed predictors + rice coding; full-spec decoder incl. LPC
                and stereo decorrelation) — lossless, no dependencies
-  - mp3/opus:  gated behind optional backends (`lameenc`, `soundfile`, or
-               an `ffmpeg` binary); absent in this image, so requesting
-               them raises TranscodeUnavailable with the available list
+  - mp3/opus:  native ctypes bindings to the system `libmp3lame` /
+               `libopus` with an Ogg container written from scratch
+               (audio/libcodec.py); falls back to `lameenc` / `ffmpeg`
+               when the system libraries are stripped, and raises
+               TranscodeUnavailable with the available list otherwise
 
 FLAC format per the public spec (RFC 9639). Bit packing is vectorized with
 numpy so encode runs at >10x realtime on a single CPU core.
@@ -509,15 +511,34 @@ def _lame_encode(audio: np.ndarray, sr: int) -> bytes:
     return bytes(enc.encode(pcm)) + bytes(enc.flush())
 
 
+def _native_codec_ok(name: str) -> bool:
+    """True when the system library backing `name` (mp3/opus) loads."""
+    from fish_speech_tpu.audio import libcodec
+
+    try:
+        if name == "mp3":
+            libcodec._load_lame()
+        elif name == "opus":
+            libcodec._load_opus()
+        else:
+            return False
+        return True
+    except TranscodeUnavailable:
+        return False
+
+
 def available_formats() -> List[str]:
     fmts = ["wav", "pcm", "flac"]
-    try:
-        import lameenc  # noqa: F401
+    if _native_codec_ok("mp3"):
         fmts.append("mp3")
-    except ImportError:
-        if shutil.which("ffmpeg"):
+    else:
+        try:
+            import lameenc  # noqa: F401
             fmts.append("mp3")
-    if shutil.which("ffmpeg"):
+        except ImportError:
+            if shutil.which("ffmpeg"):
+                fmts.append("mp3")
+    if _native_codec_ok("opus") or shutil.which("ffmpeg"):
         fmts.append("opus")
     return fmts
 
@@ -531,12 +552,23 @@ def encode_audio(audio: np.ndarray, sample_rate: int, fmt: str) -> bytes:
     if fmt == "flac":
         return encode_flac(audio, sample_rate)
     if fmt == "mp3":
+        from fish_speech_tpu.audio import libcodec
+
+        try:
+            return libcodec.encode_mp3(audio, sample_rate)
+        except TranscodeUnavailable:
+            pass
         try:
             return _lame_encode(audio, sample_rate)
         except TranscodeUnavailable:
             return _ffmpeg_encode(audio, sample_rate, "mp3")
     if fmt == "opus":
-        return _ffmpeg_encode(audio, sample_rate, "opus")
+        from fish_speech_tpu.audio import libcodec
+
+        try:
+            return libcodec.encode_opus(audio, sample_rate)
+        except TranscodeUnavailable:
+            return _ffmpeg_encode(audio, sample_rate, "opus")
     raise TranscodeUnavailable(
         f"format {fmt!r} has no encoder; available: {available_formats()}"
     )

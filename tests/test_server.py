@@ -148,13 +148,54 @@ def test_tts_flac_format(engine):
     assert sr == engine.sample_rate and samples.shape[0] > 0
 
 
-def test_tts_unavailable_format_names_alternatives(engine):
+def test_tts_mp3_format(engine):
+    from fish_speech_tpu.audio import libcodec
     from fish_speech_tpu.audio.transcode import available_formats
 
-    if "opus" in available_formats():  # pragma: no cover
-        import pytest
+    if "mp3" not in available_formats():  # pragma: no cover
+        pytest.skip("no mp3 backend in this environment")
 
-        pytest.skip("opus backend present in this environment")
+    async def fn(client):
+        r = await client.post(
+            "/v1/tts",
+            json={"text": "mp3 please", "max_new_tokens": 8, "format": "mp3"},
+        )
+        return r.status, await r.read(), r.content_type
+
+    status, body, ctype = run_client(engine, fn)
+    assert status == 200 and ctype == "audio/mpeg"
+    samples, sr = libcodec.decode_mp3(body)
+    assert sr == engine.sample_rate and samples.shape[0] > 0
+
+
+def test_tts_opus_format(engine):
+    from fish_speech_tpu.audio import libcodec
+    from fish_speech_tpu.audio.transcode import available_formats
+
+    if "opus" not in available_formats():  # pragma: no cover
+        pytest.skip("no opus backend in this environment")
+
+    async def fn(client):
+        r = await client.post(
+            "/v1/tts",
+            json={"text": "opus please", "max_new_tokens": 8, "format": "opus"},
+        )
+        return r.status, await r.read(), r.content_type
+
+    status, body, ctype = run_client(engine, fn)
+    assert status == 200 and ctype == "audio/opus"
+    assert body[:4] == b"OggS"
+    samples, sr = libcodec.decode_opus(body)
+    assert sr == 48000 and samples.shape[0] > 0
+
+
+def test_tts_unavailable_format_names_alternatives(engine, monkeypatch):
+    # Simulate a stripped system: no mp3/opus backends of any kind.
+    from fish_speech_tpu.server import app as app_mod
+
+    monkeypatch.setattr(
+        app_mod.transcode, "available_formats", lambda: ["wav", "pcm", "flac"]
+    )
 
     async def fn(client):
         r = await client.post("/v1/tts", json={"text": "x", "format": "opus"})
