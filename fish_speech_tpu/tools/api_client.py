@@ -1,9 +1,14 @@
 """HTTP API client (reference `tools/api_client.py`): msgpack POST to
-/v1/tts with optional streaming playback-to-file and base64 reference
-upload.
+/v1/tts with streaming save-to-file, base64 reference upload, and
+optional live playback (`--play`, reference `api_client.py:140-239`).
 
     python -m fish_speech_tpu.tools.api_client \
         --url http://127.0.0.1:8080/v1/tts --text "hello" -o out.wav
+
+With `--streaming --play` PCM is played as it arrives off the socket;
+without `--streaming`, the saved file is decoded (wav/flac/mp3/opus, all
+with in-repo decoders) and played after download. Playback degrades
+gracefully to file-only when no audio backend exists.
 """
 
 from __future__ import annotations
@@ -40,9 +45,12 @@ import requests
               default="off")
 @click.option("--latency", type=click.Choice(["normal", "balanced"]),
               default="normal")
+@click.option("--play/--no-play", default=False,
+              help="Play audio locally (live for --streaming).")
 def main(url, text, output, reference_audio, reference_text, reference_id,
          api_key, streaming, fmt, chunk_length, max_new_tokens, top_p,
-         temperature, repetition_penalty, seed, use_memory_cache, latency):
+         temperature, repetition_penalty, seed, use_memory_cache, latency,
+         play):
     if reference_audio and len(reference_audio) != len(reference_text):
         raise click.UsageError(
             "--reference-audio and --reference-text counts must match"
@@ -78,23 +86,56 @@ def main(url, text, output, reference_audio, reference_text, reference_id,
 
     import time
 
+    from fish_speech_tpu.tools import playback
+
     t0 = time.time()
-    with requests.post(
-        url, data=msgpack.packb(payload, use_bin_type=True), headers=headers,
-        stream=streaming, timeout=3600,
-    ) as r:
-        if r.status_code != 200:
-            raise click.ClickException(f"HTTP {r.status_code}: {r.text[:500]}")
-        first = None
-        with open(output, "wb") as f:
-            for chunk in r.iter_content(chunk_size=8192):
-                if first is None:
-                    first = time.time() - t0
-                f.write(chunk)
+    sink = None
+    wav_parser = playback.WavStreamParser() if (streaming and play) else None
+    try:
+        with requests.post(
+            url, data=msgpack.packb(payload, use_bin_type=True),
+            headers=headers, stream=streaming, timeout=3600,
+        ) as r:
+            if r.status_code != 200:
+                raise click.ClickException(
+                    f"HTTP {r.status_code}: {r.text[:500]}")
+            first = None
+            with open(output, "wb") as f:
+                for chunk in r.iter_content(chunk_size=8192):
+                    if first is None:
+                        first = time.time() - t0
+                    f.write(chunk)
+                    if wav_parser is not None:
+                        pcm = wav_parser.feed(chunk)
+                        if pcm and sink is None:
+                            try:
+                                sink = playback.open_sink(
+                                    wav_parser.rate, wav_parser.channels)
+                            except playback.PlaybackUnavailable as e:
+                                click.echo(f"playback disabled: {e}", err=True)
+                                wav_parser = None
+                                continue
+                        if pcm and sink is not None:
+                            sink.write(pcm)
+    finally:
+        if sink is not None:
+            sink.close()
     click.echo(
         f"Saved {output} (first byte after {first:.2f}s, "
         f"total {time.time() - t0:.2f}s)"
     )
+
+    if play and not streaming:
+        try:
+            pcm, rate, channels = playback.decode_to_pcm(
+                output.read_bytes(), fmt)
+            sink = playback.open_sink(rate, channels)
+            try:
+                sink.write(pcm)
+            finally:
+                sink.close()
+        except (playback.PlaybackUnavailable, ValueError) as e:
+            click.echo(f"playback disabled: {e}", err=True)
 
 
 if __name__ == "__main__":
