@@ -12,7 +12,10 @@ Endpoint and wire-format parity with the reference server
   GET  /v1/references/list
   DELETE /v1/references/delete
   POST /v1/references/update
-  GET  /ui                      minimal built-in web UI
+  GET  /v1/formats              {formats: [...]} actual encoder backends
+  GET  /ui                      built-in web UI (static/, i18n-localized;
+                                streams + plays in-browser via WebAudio,
+                                reference library browser, format picker)
 
 Bearer-token auth via --api-key. Generation runs in a worker thread (the
 engine serializes device access); streaming chunks flow through an asyncio
@@ -24,6 +27,7 @@ from __future__ import annotations
 import asyncio
 import io
 import logging
+from pathlib import Path
 from typing import Optional
 
 import msgpack
@@ -126,96 +130,20 @@ def make_auth_middleware(api_key: Optional[str]):
     return auth_middleware
 
 
-_UI_HTML = """<!doctype html>
-<html><head><meta charset="utf-8"><title>fish-speech-tpu</title>
-<style>
-body{font-family:system-ui;max-width:760px;margin:2rem auto;padding:0 1rem;background:#111;color:#eee}
-textarea,input,select{width:100%;background:#1d1d1f;color:#eee;border:1px solid #444;border-radius:6px;padding:8px;margin:4px 0;box-sizing:border-box}
-button{background:#4a7dff;color:#fff;border:0;border-radius:6px;padding:10px 18px;cursor:pointer;margin-top:8px}
-button.sec{background:#333}
-label{font-size:.85rem;color:#aaa}.row{display:flex;gap:8px}.row>div{flex:1}
-details{margin:8px 0;border:1px solid #333;border-radius:6px;padding:8px}
-summary{cursor:pointer;color:#aaa}
-#refs{font-size:.85rem;color:#8f8}
-</style></head><body>
-<h2>fish-speech-tpu</h2>
-<label>[[Text]] (use &lt;|speaker:N|&gt; tags for multi-speaker)</label>
-<textarea id="text" rows="4">Hello! This is a test of the TPU-native fish-speech rebuild.</textarea>
-<div class="row">
-<div><label>[[Temperature]]</label><input id="temperature" type="number" value="0.8" step="0.1" min="0.1" max="1.0"></div>
-<div><label>[[Top-P]]</label><input id="top_p" type="number" value="0.8" step="0.1" min="0.1" max="1.0"></div>
-<div><label>[[Repetition Penalty]]</label><input id="repetition_penalty" type="number" value="1.1" step="0.1" min="0.9" max="2.0"></div>
-<div><label>[[Max new tokens]]</label><input id="max_new_tokens" type="number" value="512"></div>
-</div>
-<div class="row">
-<div><label>[[Chunk length (bytes)]]</label><input id="chunk_length" type="number" value="200" min="100" max="1000"></div>
-<div><label>[[Seed]]</label><input id="seed" type="number" placeholder=""></div>
-<div><label>[[Reference ID]]</label><input id="reference_id" placeholder="(optional)"></div>
-<div><label>[[Streaming]]</label><select id="streaming"><option value="false">off</option><option value="true">on</option></select></div>
-</div>
-<details><summary>[[Reference Audio]] (voice cloning)</summary>
-<label>[[Audio file]]</label><input id="ref_audio" type="file" accept=".wav,.flac">
-<label>[[Reference Text]]</label><input id="ref_text" placeholder="what the reference says">
-<div class="row">
-<div><label>Save as ID</label><input id="ref_save_id" placeholder="my-voice"></div>
-<div style="align-self:end"><button class="sec" onclick="saveRef()">Save reference</button></div>
-<div style="align-self:end"><button class="sec" onclick="listRefs()">List</button></div>
-</div>
-<p id="refs"></p>
-</details>
-<button onclick="go()">[[Synthesize]]</button>
-<p id="status"></p><audio id="player" controls style="width:100%"></audio>
-<script>
-function b64(buf){let s='';new Uint8Array(buf).forEach(b=>s+=String.fromCharCode(b));return btoa(s)}
-async function refPayload(){
-  const f=document.getElementById('ref_audio').files[0];
-  if(!f) return [];
-  return [{audio:b64(await f.arrayBuffer()),text:document.getElementById('ref_text').value||''}];
-}
-async function saveRef(){
-  const f=document.getElementById('ref_audio').files[0];
-  const id=document.getElementById('ref_save_id').value;
-  const s=document.getElementById('refs');
-  if(!f||!id){s.textContent='need a file and an ID';return}
-  const r=await fetch('/v1/references/add',{method:'POST',headers:{'Content-Type':'application/json','Accept':'application/json'},
-    body:JSON.stringify({id:id,audio:b64(await f.arrayBuffer()),text:document.getElementById('ref_text').value||''})});
-  s.textContent=(await r.json()).message;
-}
-async function listRefs(){
-  const r=await fetch('/v1/references/list',{headers:{'Accept':'application/json'}});
-  const j=await r.json();
-  document.getElementById('refs').textContent='References: '+(j.reference_ids.join(', ')||'(none)');
-}
-async function go(){
-  const s=document.getElementById('status'); s.textContent='Generating…';
-  const seedRaw=document.getElementById('seed').value;
-  const body={text:document.getElementById('text').value,
-    temperature:parseFloat(document.getElementById('temperature').value),
-    top_p:parseFloat(document.getElementById('top_p').value),
-    repetition_penalty:parseFloat(document.getElementById('repetition_penalty').value),
-    max_new_tokens:parseInt(document.getElementById('max_new_tokens').value),
-    chunk_length:parseInt(document.getElementById('chunk_length').value),
-    seed:seedRaw?parseInt(seedRaw):null,
-    reference_id:document.getElementById('reference_id').value||null,
-    references:await refPayload(),
-    format:'wav',streaming:document.getElementById('streaming').value==='true'};
-  const t0=performance.now();
-  const r=await fetch('/v1/tts',{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
-  if(!r.ok){s.textContent='Error: '+await r.text();return}
-  const blob=await r.blob();
-  document.getElementById('player').src=URL.createObjectURL(blob);
-  s.textContent='Done in '+((performance.now()-t0)/1000).toFixed(1)+'s.';
-}
-</script></body></html>"""
+_STATIC_DIR = Path(__file__).parent / "static"
 
 
 def _render_ui_html() -> str:
-    """Substitute the [[...]] label tokens through the i18n table (reference
-    localizes its Gradio UI the same way, `tools/webui/__init__.py:22-153`)."""
+    """Load the static single-page UI and substitute its [[...]] label
+    tokens through the i18n table (the reference localizes its Gradio UI
+    the same way, `tools/webui/__init__.py:22-153`)."""
     from fish_speech_tpu.i18n import i18n
 
     # literal keys so `python -m fish_speech_tpu.i18n.scan` finds them
     labels = {
+        "TPU-native text-to-speech": i18n("TPU-native text-to-speech"),
+        "Synthesize": i18n("Synthesize"),
+        "Stop": i18n("Stop"),
         "Text": i18n("Text"),
         "Temperature": i18n("Temperature"),
         "Top-P": i18n("Top-P"),
@@ -223,14 +151,18 @@ def _render_ui_html() -> str:
         "Max new tokens": i18n("Max new tokens"),
         "Chunk length (bytes)": i18n("Chunk length (bytes)"),
         "Seed": i18n("Seed"),
+        "Format": i18n("Format"),
         "Reference ID": i18n("Reference ID"),
-        "Streaming": i18n("Streaming"),
-        "Reference Audio": i18n("Reference Audio"),
-        "Audio file": i18n("Audio file"),
+        "Stream & play as it generates": i18n("Stream & play as it generates"),
+        "Reference Library": i18n("Reference Library"),
+        "voice cloning": i18n("voice cloning"),
+        "Drop a .wav/.flac file here or click to choose":
+            i18n("Drop a .wav/.flac file here or click to choose"),
         "Reference Text": i18n("Reference Text"),
-        "Synthesize": i18n("Synthesize"),
+        "Save as ID": i18n("Save as ID"),
+        "Save reference": i18n("Save reference"),
     }
-    html = _UI_HTML
+    html = (_STATIC_DIR / "index.html").read_text()
     for key, val in labels.items():
         html = html.replace(f"[[{key}]]", val)
     return html
@@ -250,6 +182,9 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
 
     async def ui(request):
         return web.Response(text=_render_ui_html(), content_type="text/html")
+
+    async def formats(request):
+        return web.json_response({"formats": transcode.available_formats()})
 
     async def tts(request):
         data = await _parse_body(request)
@@ -480,6 +415,8 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
     app.router.add_get("/v1/health", health)
     app.router.add_post("/v1/health", health)
     app.router.add_get("/ui", ui)
+    app.router.add_static("/ui/static/", _STATIC_DIR)
+    app.router.add_get("/v1/formats", formats)
     app.router.add_post("/v1/tts", tts)
     app.router.add_post("/v1/vqgan/encode", vqgan_encode)
     app.router.add_post("/v1/vqgan/decode", vqgan_decode)

@@ -289,10 +289,70 @@ def test_reference_crud_and_clone(engine):
 def test_ui_served(engine):
     async def fn(client):
         r = await client.get("/ui")
-        return r.status, await r.text()
+        html = await r.text()
+        js = await client.get("/ui/static/app.js")
+        css = await client.get("/ui/static/style.css")
+        fmts = await client.get("/v1/formats")
+        return r.status, html, js.status, await js.text(), css.status, \
+            fmts.status, await fmts.json()
 
-    status, text = run_client(engine, fn)
-    assert status == 200 and "fish-speech-tpu" in text
+    status, html, js_status, js, css_status, fmt_status, fmts = \
+        run_client(engine, fn)
+    assert status == 200 and "fish-speech-tpu" in html
+    # all [[label]] tokens substituted through i18n
+    assert "[[" not in html
+    # product-parity controls: format picker, seed, reference library browser
+    for control in ('id="format"', 'id="seed"', 'id="ref_table"',
+                    'id="dropzone"', 'id="streaming"'):
+        assert control in html, control
+    assert js_status == 200 and css_status == 200
+    # in-browser streaming playback machinery is present in the app script
+    for needle in ("AudioContext", "getReader", "createBufferSource",
+                   "/v1/references/list", "/v1/references/delete",
+                   "/v1/formats"):
+        assert needle in js, needle
+    assert fmt_status == 200
+    assert {"wav", "pcm", "flac"} <= set(fmts["formats"])
+    _assert_js_brackets_balanced(js)
+
+
+def _assert_js_brackets_balanced(src: str):
+    """No JS engine exists in this image, so as a syntax backstop verify
+    every brace/paren/bracket balances outside strings and comments."""
+    pairs = {")": "(", "]": "[", "}": "{"}
+    stack = []
+    i, n = 0, len(src)
+    state = None  # None | quote char | "line" | "block"
+    while i < n:
+        c = src[i]
+        if state in ("'", '"', "`"):
+            if c == "\\":
+                i += 2
+                continue
+            if c == state:
+                state = None
+        elif state == "line":
+            if c == "\n":
+                state = None
+        elif state == "block":
+            if src.startswith("*/", i):
+                state = None
+                i += 1
+        elif c in "'\"`":
+            state = c
+        elif src.startswith("//", i):
+            state = "line"
+        elif src.startswith("/*", i):
+            state = "block"
+        elif c in "([{":
+            stack.append(c)
+        elif c in ")]}":
+            assert stack and stack[-1] == pairs[c], \
+                f"unbalanced {c!r} at byte {i}"
+            stack.pop()
+        i += 1
+    assert not stack, f"unclosed {stack!r}"
+    assert state is None, f"unterminated {state!r}"
 
 
 def _b64(b):
