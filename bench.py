@@ -222,9 +222,12 @@ def run_bench(args):
             temperature=0.8, top_p=0.8, top_k=30,
         )
 
-    # Warmup/compile (prefill bucket + decode chunk).
+    # Warmup/compile with the SAME step count as the measured run so every
+    # (n_steps, kv_len-bucket) decode signature compiles here — a longer
+    # run crosses KV buckets mid-generation and would otherwise pay a
+    # multi-second recompile inside the timed wall.
     t0 = time.perf_counter()
-    out = run(args.chunk + 1, jax.random.PRNGKey(1))
+    out = run(args.steps, jax.random.PRNGKey(1))
     compile_time = time.perf_counter() - t0
     print(f"# warmup+compile: {compile_time:.1f}s", file=sys.stderr)
 

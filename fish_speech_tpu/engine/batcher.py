@@ -146,7 +146,10 @@ class ContinuousBatcher:
                  pool_size: int = 4, dtype=jnp.bfloat16,
                  decode_chunk_size: int = 16, first_chunk_size: int = 0,
                  idle_sleep: float = 0.002):
-        self.params = params
+        from fish_speech_tpu.models.dual_ar import precompute_semantic_head
+
+        # pre-sliced restricted head (see GenerationSession.__init__)
+        self.params = precompute_semantic_head(params, cfg)
         self.cfg = cfg.resolve()
         self.scfg = scfg or SamplingConfig()
         self.dtype = dtype

@@ -86,7 +86,9 @@ def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
     # Fast-AR over the codebook axis. The cache is tiny (seq len = C).
     fast_cache = dual_ar.init_fast_kv_cache(cfg, b, dtype=hidden.dtype)
     h0 = dual_ar.fast_project_in(params, cfg, hidden)
-    _, fast_cache = dual_ar.fast_decode_step(params, cfg, h0, fast_cache, 0)
+    _, fast_cache = dual_ar.fast_decode_step(
+        params, cfg, h0, fast_cache, 0, with_logits=False
+    )
 
     def fast_body(carry, i):
         prev_code, fc, k = carry
@@ -205,7 +207,9 @@ def _sample_column_rows(params, cfg, scfg, logits, hidden, window, keys,
 
     fast_cache = dual_ar.init_fast_kv_cache(cfg, b, dtype=hidden.dtype)
     h0 = dual_ar.fast_project_in(params, cfg, hidden)
-    _, fast_cache = dual_ar.fast_decode_step(params, cfg, h0, fast_cache, 0)
+    _, fast_cache = dual_ar.fast_decode_step(
+        params, cfg, h0, fast_cache, 0, with_logits=False
+    )
 
     def fast_body(carry, i):
         prev_code, fc, k = carry
@@ -343,9 +347,12 @@ class GenerationSession:
 
     def __init__(self, params, cfg: DualARConfig, scfg: SamplingConfig = None,
                  max_batch: int = 1, dtype=jnp.bfloat16,
-                 decode_chunk_size: int = 32, kv_buckets=(512, 2048),
-                 first_chunk_size: int = 0):
-        self.params = params
+                 decode_chunk_size: int = 32, kv_buckets=(512, 1024, 2048),
+                 first_chunk_size: int = 0, pipeline_lookahead: int = 1):
+        # Inference-only augmentation: pre-slice the restricted LM head so
+        # the decode scan reads it directly instead of re-slicing the full
+        # head every frame (checkpoint save/training never see this key).
+        self.params = dual_ar.precompute_semantic_head(params, cfg)
         self.cfg = cfg.resolve()
         self.scfg = scfg or SamplingConfig()
         self.dtype = dtype
@@ -353,6 +360,14 @@ class GenerationSession:
         # streaming latency: optionally run a smaller first chunk so the
         # first audio segment reaches the codec sooner (one extra compile)
         self.first_chunk_size = first_chunk_size or decode_chunk_size
+        # Dispatch-ahead depth for non-streaming generation: with 0, the
+        # host reads a chunk's outputs before dispatching the next one, so
+        # the device idles one host round-trip per chunk (~100 ms through a
+        # remote-device tunnel). With k>0, up to k+1 chunks are in flight
+        # and the device runs back-to-back; on early im_end up to k chunks
+        # of device work are wasted. Streaming keeps 0 so per-chunk codec
+        # decodes don't queue behind an in-flight LM chunk.
+        self.pipeline_lookahead = pipeline_lookahead
         # headroom so chunked decode never writes past the buffer
         self.cache_len = self.cfg.max_seq_len + decode_chunk_size
         self.param_bytes = sum(
@@ -396,6 +411,7 @@ class GenerationSession:
             prompt, key, max_new_tokens=max_new_tokens,
             temperature=temperature, top_p=top_p, top_k=top_k,
             audio_features=audio_features, audio_mask=audio_mask,
+            pipeline_lookahead=self.pipeline_lookahead,
         ):
             pass
         return last
@@ -410,12 +426,22 @@ class GenerationSession:
         top_k: int = 30,
         audio_features: Optional[np.ndarray] = None,
         audio_mask: Optional[np.ndarray] = None,
+        pipeline_lookahead: int = 0,
     ):
         """Streaming variant of `generate`: yields the CUMULATIVE (C+1, n)
         columns after the prefill frame and after every decode chunk (the
         last yield is the complete sequence). Drives per-decode-chunk audio
         streaming in the TTS engine — sub-second first audio instead of
-        waiting for the whole text segment."""
+        waiting for the whole text segment.
+
+        pipeline_lookahead > 0 dispatches that many decode chunks beyond
+        the one being read (positions are tracked host-side so no device
+        sync gates a dispatch): the device runs chunks back-to-back and the
+        per-chunk host round-trip disappears from the critical path.
+        Defaults to 0 here because a streaming consumer typically enqueues
+        codec work between yields, which must not queue behind an in-flight
+        LM chunk; `generate()` (no consumer between chunks) passes the
+        session's lookahead."""
         cfg, scfg = self.cfg, self.scfg
         check_top_k(top_k)
         t = prompt.shape[1]
@@ -460,26 +486,36 @@ class GenerationSession:
             return
 
         pos = jnp.int32(t)
+        pos_host = t  # mirrors `pos` so dispatch never syncs on the device
         token = column
         window = jnp.zeros((1, scfg.ras_win_size), jnp.int32)
-        steps_left = budget - 1
+        dispatch_left = budget - 1  # steps not yet dispatched
+        emit_left = budget - 1  # steps not yet yielded
         first = True
-        while steps_left > 0:
-            # Always run a FULL chunk (n_steps is a static jit arg; variable
-            # trailing chunks would each trigger a recompile) and truncate
-            # host-side. The cache has decode_chunk_size slots of headroom so
-            # the overshoot never writes out of bounds.
-            n = self.first_chunk_size if first else self.decode_chunk_size
-            first = False
-            kv_len = self._kv_bucket(int(pos) + n + 1)
-            cols, token, self.cache, pos, window, key, done = decode_chunk(
-                self.params, cfg, scfg, int(n), token, self.cache, pos, window,
-                key, temperature, top_p, top_k, None, kv_len,
-            )
-            cols = np.asarray(cols)[:, 0][: max(steps_left, 0)]  # (<=n, C+1)
-            steps_left -= n
+        inflight = []  # [(cols_device, n)] — FIFO of dispatched chunks
+        while dispatch_left > 0 or inflight:
+            while dispatch_left > 0 and len(inflight) <= pipeline_lookahead:
+                # Always run a FULL chunk (n_steps is a static jit arg;
+                # variable trailing chunks would each recompile) and truncate
+                # host-side. The cache has decode_chunk_size slots of
+                # headroom so the overshoot never writes out of bounds.
+                n = self.first_chunk_size if first else self.decode_chunk_size
+                first = False
+                kv_len = self._kv_bucket(pos_host + n + 1)
+                cols, token, self.cache, pos, window, key, _ = decode_chunk(
+                    self.params, cfg, scfg, int(n), token, self.cache, pos,
+                    window, key, temperature, top_p, top_k, None, kv_len,
+                )
+                inflight.append((cols, n))
+                pos_host += n
+                dispatch_left -= n
+            cols_dev, n = inflight.pop(0)
+            cols = np.asarray(cols_dev)[:, 0][: max(emit_left, 0)]  # (<=n, C+1)
+            emit_left -= n
             ends = cols[:, 0] == cfg.im_end_id
             if ends.any():
+                # Any still-inflight chunks past im_end are discarded (bounded
+                # by pipeline_lookahead chunks of wasted device work).
                 stop = int(np.argmax(ends))
                 columns.append(cols[: stop + 1])
                 yield np.concatenate(columns, axis=0).T

@@ -367,6 +367,11 @@ def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask,
         h2 = rms_norm(x, lp["ffn_norm"], eps)
         return (x + _ffn(lp, spec, h2), kc_all, vc_all)
 
+    # Measured on v5e (single-stream int8 flagship): unrolling this loop
+    # does NOT help — 2/4 on the slow stack and full unroll on the 4-layer
+    # fast stack each measured ~1-3% SLOWER than the rolled form. Decode is
+    # HBM-bound and XLA already overlaps the next layer's weight DMA with
+    # compute inside the while loop; unrolling just grows the program.
     x, kc_all, vc_all = lax.fori_loop(0, n_layer, body, (x, kc_all, vc_all))
     return x, {"k": kc_all, "v": vc_all}
 
@@ -692,6 +697,47 @@ def insert_cache_rows(pool, group, rows):
     }
 
 
+def precompute_semantic_head(params, cfg: DualARConfig):
+    """Materialize the restricted-head weight slice once.
+
+    `semantic_head_logits` slices semantic∪im_end columns out of the full
+    head every call; inside the decode scan that loop-invariant slice is
+    NOT hoisted by XLA and costs a ~10 MB copy per frame (measured 27 us
+    on v5e). Returns a params dict augmented with `_semantic_head`, which
+    `semantic_head_logits` uses directly. Inference sessions call this at
+    init; checkpoints/training never see the extra key.
+    """
+    cfg = cfg.resolve()
+    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
+    if cfg.tie_word_embeddings:
+        w_sem = params["embeddings"][sb : se + 1].T
+        w_end = params["embeddings"][cfg.im_end_id][:, None]
+        head = {"w": jnp.concatenate([w_sem, w_end], axis=1)}
+    else:
+        out_w = params["output"]
+        if isinstance(out_w, dict) and "q" in out_w:
+            head = {
+                "q": jnp.concatenate(
+                    [out_w["q"][:, sb : se + 1],
+                     out_w["q"][:, cfg.im_end_id][:, None]], axis=1
+                ),
+                "s": jnp.concatenate(
+                    [out_w["s"][sb : se + 1], out_w["s"][cfg.im_end_id][None]],
+                    axis=0,
+                ),
+            }
+        else:
+            head = {
+                "w": jnp.concatenate(
+                    [out_w[:, sb : se + 1], out_w[:, cfg.im_end_id][:, None]],
+                    axis=1,
+                )
+            }
+    new = dict(params)
+    new["_semantic_head"] = head
+    return new
+
+
 def semantic_head_logits(params, cfg: DualARConfig, slow_out):
     """Constrained-decoding LM head: logits over the semantic id range plus
     `<|im_end|>` only — columns [0, S) map to semantic ids, column S is
@@ -701,6 +747,15 @@ def semantic_head_logits(params, cfg: DualARConfig, slow_out):
     """
     cfg = cfg.resolve()
     sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
+    pre = params.get("_semantic_head")
+    if pre is not None:
+        if "q" in pre:
+            logits = (slow_out @ pre["q"].astype(slow_out.dtype)) * pre[
+                "s"
+            ].astype(slow_out.dtype)
+        else:
+            logits = slow_out @ pre["w"]
+        return _semantic_head_lora(params, cfg, slow_out, logits)
     if cfg.tie_word_embeddings:
         w_sem = params["embeddings"][sb : se + 1].T  # (D, S)
         w_end = params["embeddings"][cfg.im_end_id][:, None]  # (D, 1)
@@ -720,6 +775,11 @@ def semantic_head_logits(params, cfg: DualARConfig, slow_out):
             w_sem = out_w[:, sb : se + 1]
             w_end = out_w[:, cfg.im_end_id][:, None]
             logits = slow_out @ jnp.concatenate([w_sem, w_end], axis=1)
+    return _semantic_head_lora(params, cfg, slow_out, logits)
+
+
+def _semantic_head_lora(params, cfg: DualARConfig, slow_out, logits):
+    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
     la = params.get("lora_embeddings" if cfg.tie_word_embeddings else "lora_output")
     if la is not None:
         if cfg.tie_word_embeddings:
@@ -742,7 +802,8 @@ def semantic_index_to_token(cfg: DualARConfig, idx):
     return jnp.where(idx >= n_sem, cfg.im_end_id, cfg.semantic_begin_id + idx)
 
 
-def fast_decode_step(params, cfg: DualARConfig, x, fast_cache, pos):
+def fast_decode_step(params, cfg: DualARConfig, x, fast_cache, pos,
+                     with_logits: bool = True):
     """One fast-transformer step over the codebook axis.
 
     Args:
@@ -750,8 +811,11 @@ def fast_decode_step(params, cfg: DualARConfig, x, fast_cache, pos):
         embedding).
       fast_cache: fast KV cache (seq len = num_codebooks).
       pos: scalar int32 codebook position.
+      with_logits: the pos-0 call only fills the cache (its sample comes
+        from the slow head), so callers pass False there to skip the dead
+        head matmul.
 
-    Returns (logits (B, K) fp32, fast_cache).
+    Returns (logits (B, K) fp32 or None, fast_cache).
     """
     cfg = cfg.resolve()
     table = precompute_rope(cfg.num_codebooks, cfg.fast_head_dim, cfg.rope_base)
@@ -762,5 +826,7 @@ def fast_decode_step(params, cfg: DualARConfig, x, fast_cache, pos):
         params["fast"]["layers"], _fast_spec(cfg), x[:, None], freqs,
         fast_cache, pos, kv_mask,
     )
+    if not with_logits:
+        return None, fast_cache
     out = rms_norm(y[:, 0], params["fast"]["norm"], cfg.norm_eps)
     return _fast_head(params, cfg, out), fast_cache
