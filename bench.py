@@ -62,6 +62,16 @@ def _parse():
                         default="int8",
                         help="weight quantization; mixed = slow int8 + fast "
                              "int4 (fast weights are re-read 10x per frame)")
+    parser.add_argument("--ttfa", action="store_true",
+                        help="measure end-to-end time-to-first-audio through "
+                             "the streaming TTS engine (LM + codec) instead "
+                             "of generation throughput")
+    parser.add_argument("--ttfa-runs", type=int, default=20)
+    parser.add_argument("--burst", action="store_true",
+                        help="burst-latency benchmark: --clients requests "
+                             "arrive at once on a --batch-slot continuous-"
+                             "batching pool; reports first-chunk p50/p90")
+    parser.add_argument("--clients", type=int, default=32)
     args = parser.parse_args()
     if args.int8 and args.quant == "none":
         args.quant = "int8"
@@ -72,7 +82,12 @@ def main():
     args = _parse()
     while True:
         try:
-            run_bench(args)
+            if args.ttfa:
+                run_ttfa(args)
+            elif args.burst:
+                run_burst(args)
+            else:
+                run_bench(args)
             return
         except Exception as e:  # robustness for the unattended driver run:
             # OOM or compile failure at the serving config must still
@@ -273,6 +288,210 @@ def run_bench(args):
         },
     }
     print(json.dumps(result))
+
+
+def run_ttfa(args):
+    """End-to-end time-to-first-audio through the streaming engine.
+
+    Drives the REAL serving path: text -> generate_long device-partials ->
+    prefill -> 1-frame partial -> codec decode -> first PCM samples. The
+    reported number is what a streaming client would observe after the WAV
+    header (engine-level; add network framing for the HTTP view).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fish_speech_tpu.config import (SamplingConfig, dac_s2_pro,
+                                        dac_tiny, dual_ar_s2_pro,
+                                        dual_ar_tiny)
+    from fish_speech_tpu.engine.tts import TTSInferenceEngine, TTSRequest
+    from fish_speech_tpu.generate import GenerationSession
+    from fish_speech_tpu.models.dac import init_dac
+    from fish_speech_tpu.tokenizer import build_test_tokenizer
+
+    tokenizer = build_test_tokenizer()
+    sem = dict(
+        semantic_begin_id=tokenizer.semantic_begin_id,
+        semantic_end_id=tokenizer.semantic_end_id,
+        im_end_id=tokenizer.im_end_id,
+    )
+    if args.small:
+        dac_cfg = dac_tiny()
+        cfg = dual_ar_tiny(
+            vocab_size=tokenizer.vocab_size, codebook_size=4096,
+            num_codebooks=dac_cfg.rvq.total_codebooks, **sem,
+        )
+        args.quant = "none" if args.quant == "int8" else args.quant
+    else:
+        dac_cfg = dac_s2_pro()
+        cfg = dual_ar_s2_pro(**sem)  # codebook layout already matches s2-pro
+        assert cfg.num_codebooks == dac_cfg.rvq.total_codebooks
+    cfg = dataclasses.replace(cfg, max_seq_len=args.max_seq or 2048).resolve()
+
+    dtype = jnp.float32 if args.small else jnp.bfloat16
+    t0 = time.perf_counter()
+    params = _bench_params(cfg, dtype, args.quant)
+    dac_params = jax.jit(
+        lambda k: init_dac(k, dac_cfg, dtype=jnp.float32)
+    )(jax.random.PRNGKey(1))
+    jax.block_until_ready((params, dac_params))
+    print(f"# init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    session = GenerationSession(
+        params, cfg, SamplingConfig(), dtype=dtype,
+        decode_chunk_size=args.chunk, first_chunk_size=args.first_chunk,
+    )
+    import tempfile
+
+    engine = TTSInferenceEngine(
+        session, tokenizer, dac_params, dac_cfg,
+        references_dir=tempfile.mkdtemp(),
+    )
+
+    text = "Hello there! This is a latency test of the streaming engine."
+    req = lambda seed: TTSRequest(  # noqa: E731
+        text=text, streaming=True, max_new_tokens=args.steps,
+        temperature=0.8, top_p=0.8, seed=seed,
+    )
+
+    def one_run(seed):
+        t0 = time.perf_counter()
+        first = None
+        for result in engine.inference(req(seed)):
+            if result.code == "error":
+                raise result.error
+            if (result.code == "segment" and first is None
+                    and len(result.audio[1]) > 0):
+                first = time.perf_counter() - t0
+        return first
+
+    t0 = time.perf_counter()
+    one_run(0)  # warmup/compile: prefill bucket, chunks, codec buckets
+    print(f"# warmup+compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    lat = sorted(one_run(1000 + i) for i in range(args.ttfa_runs))
+    p50 = lat[len(lat) // 2]
+    p90 = lat[min(len(lat) - 1, int(len(lat) * 0.9))]
+    print(json.dumps({
+        "metric": "ttfa_ms_p50",
+        "value": round(p50 * 1e3, 1),
+        "unit": "ms",
+        "vs_baseline": round(0.200 / p50, 3),  # target: p50 < 200 ms
+        "extra": {
+            "p90_ms": round(p90 * 1e3, 1),
+            "min_ms": round(lat[0] * 1e3, 1),
+            "max_ms": round(lat[-1] * 1e3, 1),
+            "runs": len(lat),
+            "platform": jax.devices()[0].platform,
+            "quant": args.quant,
+            "chunk": args.chunk,
+        },
+    }))
+
+
+def run_burst(args):
+    """Burst latency through the continuous batcher: `--clients` requests
+    submitted simultaneously onto a `--batch`-slot pool. With parked-
+    prefill admission every client's first frame streams back from its
+    admission prefill even when the pool is full, so first-chunk latency
+    stays sub-second at 2x oversubscription (round-1: p50 2.7 s)."""
+    import queue as queue_mod
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fish_speech_tpu.config import (SamplingConfig, dual_ar_s2_pro,
+                                        dual_ar_tiny)
+    from fish_speech_tpu.engine.batcher import BatchRequest, ContinuousBatcher
+
+    if args.small:
+        cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=4395,
+                           im_end_id=3, codebook_size=4096, num_codebooks=10)
+        args.quant = "none" if args.quant == "int8" else args.quant
+    else:
+        cfg = dual_ar_s2_pro(
+            semantic_begin_id=151000, semantic_end_id=155095,
+            im_end_id=151000 - 6,
+        )
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, max_seq_len=args.max_seq or 2048).resolve()
+    dtype = jnp.float32 if args.small else jnp.bfloat16
+
+    t0 = time.perf_counter()
+    params = _bench_params(cfg, dtype, args.quant)
+    jax.block_until_ready(params)
+    print(f"# init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    pool = args.batch if args.batch > 1 else 16
+    batcher = ContinuousBatcher(
+        params, cfg, SamplingConfig(), pool_size=pool, dtype=dtype,
+        decode_chunk_size=args.chunk, first_chunk_size=args.first_chunk or 8,
+    )
+    rng = np.random.default_rng(0)
+    prompt = np.zeros((cfg.num_codebooks + 1, args.prompt_len), np.int32)
+    prompt[0] = rng.integers(10, 1000, size=args.prompt_len)
+
+    def burst(tag):
+        reqs = [
+            BatchRequest(prompt=prompt, max_new_tokens=args.steps,
+                         seed=tag * 1000 + i)
+            for i in range(args.clients)
+        ]
+        t0 = time.perf_counter()
+        first = [None] * len(reqs)
+        done_t = [None] * len(reqs)
+        frames = [0] * len(reqs)
+
+        def watch(i, q):
+            while True:
+                item = q.get()
+                if item is None:
+                    done_t[i] = time.perf_counter() - t0
+                    return
+                if first[i] is None:
+                    first[i] = time.perf_counter() - t0
+                frames[i] += item.shape[0]
+
+        watchers = []
+        for i, r in enumerate(reqs):
+            q = batcher.submit(r)
+            th = threading.Thread(target=watch, args=(i, q))
+            th.start()
+            watchers.append(th)
+        for th in watchers:
+            th.join(timeout=1200)
+        return first, done_t, sum(frames), max(d for d in done_t if d)
+
+    t0 = time.perf_counter()
+    burst(0)  # warmup: compiles direct+parked prefills, inserts, chunks
+    print(f"# warmup+compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    first, done_t, total_frames, wall = burst(1)
+    lat = sorted(f for f in first if f is not None)
+    p50 = lat[len(lat) // 2]
+    p90 = lat[min(len(lat) - 1, int(len(lat) * 0.9))]
+    print(json.dumps({
+        "metric": "burst_first_chunk_p50_s",
+        "value": round(p50, 3),
+        "unit": "s",
+        "vs_baseline": round(2.7 / p50, 2),  # round-1 measured p50
+        "extra": {
+            "p90_s": round(p90, 3),
+            "max_s": round(lat[-1], 3),
+            "clients": args.clients,
+            "pool": pool,
+            "aggregate_frames_per_s": round(total_frames / wall, 1),
+            "x_realtime": round(total_frames / wall / FRAMES_PER_SECOND, 1),
+            "platform": jax.devices()[0].platform,
+            "quant": args.quant,
+        },
+    }))
 
 
 if __name__ == "__main__":

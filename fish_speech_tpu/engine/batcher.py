@@ -10,6 +10,12 @@ delegated to external SGLang). Here it is first-class:
     prefetched in GROUPS (one batched right-aligned prefill per prompt
     bucket, group sizes in {16,4,1}) so admission cost amortizes instead of
     serializing against the pool decode;
+  * when the pool is FULL, overflow requests are still prefilled into
+    PARKED device caches (one group per loop iteration, interleaved with
+    decode chunks; parked rows bounded by pool_size): their first frame
+    streams back immediately, and freed slots later receive parked rows via
+    one in-place gather+scatter — no re-prefill. Under a 2x-oversubscribed
+    burst every client gets first audio in well under a second;
   * every iteration runs one jitted `decode_chunk_multi` over the whole
     pool — each slot has its own position, RNG key, RAS window and sampling
     params; inactive slots are frozen lanes;
@@ -39,8 +45,10 @@ from fish_speech_tpu.config import DualARConfig, SamplingConfig
 from fish_speech_tpu.ops.sampling import check_top_k
 from fish_speech_tpu.generate import (
     decode_chunk_multi,
+    insert_parked_rows,
     pick_bucket,
     prefill_group_into_pool,
+    prefill_group_parked,
 )
 from fish_speech_tpu.models import dual_ar
 
@@ -82,6 +90,26 @@ class _Slot:
     request: Optional["BatchRequest"] = None
     pos: int = 0
     budget_left: int = 0
+
+
+@dataclass
+class _Parked:
+    """A prefilled-but-not-yet-scheduled admission group (burst overflow).
+
+    The group's KV cache lives on device; its requests already received
+    their first frame. Rows move into freed pool slots via
+    `insert_parked_rows` without re-prefilling.
+    """
+
+    cache: dict  # (L, k, bucket, H, D)
+    reqs: List["BatchRequest"]
+    t_ends: np.ndarray
+    cols: np.ndarray  # (k, C+1) first sampled columns
+    nkeys: np.ndarray  # (k, 2)
+    alive: List[bool]
+
+    def pending_rows(self) -> List[int]:
+        return [i for i, a in enumerate(self.alive) if a]
 
 
 @dataclass
@@ -175,6 +203,11 @@ class ContinuousBatcher:
         self.top_k = jnp.full((b,), 30, jnp.int32)
 
         self.slots: List[_Slot] = [_Slot() for _ in range(b)]
+        # burst overflow: prefilled admission groups waiting for slots
+        # (bounded device memory: at most park_max_rows parked KV rows)
+        self.parked: List[_Parked] = []
+        self.park_max_rows = pool_size
+        self._overflow: List[BatchRequest] = []  # FIFO, drained from pending
         self.pending: "queue.Queue[BatchRequest]" = queue.Queue()
         self._stop = threading.Event()
         self._wake = threading.Event()
@@ -212,8 +245,25 @@ class ContinuousBatcher:
 
     # -- worker --
 
+    def _drain_pending(self):
+        while True:
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            if req.prompt.shape[1] >= self.cfg.max_seq_len:
+                req.out.put(None)
+                continue
+            self._overflow.append(req)
+
+    def _request_budget(self, req: "BatchRequest", t: int) -> int:
+        cfg = self.cfg
+        if req.max_new_tokens and t + req.max_new_tokens <= cfg.max_seq_len:
+            return req.max_new_tokens
+        return cfg.max_seq_len - t
+
     def _admit(self):
-        """Admit pending requests into free slots.
+        """Admit requests into free slots; park burst overflow.
 
         Admissions are PREFILLED IN GROUPS (one batched prefill per prompt
         bucket, group sizes decomposed into powers of two to bound the
@@ -221,39 +271,153 @@ class ContinuousBatcher:
         otherwise serialize against the pool decode and dominate wall time.
         The per-request sampling key depends only on the request seed, so
         outputs are independent of how admissions happen to be grouped.
-        """
-        free = [i for i, s in enumerate(self.slots) if not s.active]
-        batch: List[BatchRequest] = []
-        while len(batch) < len(free) and not self.pending.empty():
-            try:
-                req = self.pending.get_nowait()
-            except queue.Empty:
-                break
-            if req.prompt.shape[1] >= self.cfg.max_seq_len:
-                req.out.put(None)
-                continue
-            batch.append(req)
-        if not batch:
-            return False
 
-        by_bucket = {}
-        for req in batch:
-            b = pick_bucket(req.prompt.shape[1], self.cache_len)
-            by_bucket.setdefault(b, []).append(req)
-        fi = 0
-        for bucket, reqs in sorted(by_bucket.items()):
-            i = 0
-            while i < len(reqs):
-                # group sizes restricted to {16, 4, 1}: bounds both the
-                # compile count and the resident scratch caches per bucket
-                rest = len(reqs) - i
-                k = next(g for g in (16, 4, 1) if g <= rest)
-                group = reqs[i : i + k]
-                i += k
-                rows = free[fi : fi + k]
-                fi += k
-                self._prefill_group(bucket, rows, group)
-        return True
+        When the pool is FULL, overflow requests are still prefilled into
+        PARKED device caches (at most one group per call, interleaved with
+        pool decode chunks; total parked rows bounded) so every client
+        receives its first frame promptly; freed slots then receive parked
+        rows without re-prefilling. FIFO order is preserved: parked groups
+        predate everything in the overflow list.
+        """
+        self._drain_pending()
+        free = [i for i, s in enumerate(self.slots) if not s.active]
+        admitted = False
+
+        # 1. freed slots first go to parked rows (oldest requests)
+        while free and self.parked:
+            pk = self.parked[0]
+            avail = pk.pending_rows()
+            m = min(len(free), len(avail))
+            m = next(g for g in (16, 4, 1) if g <= m)
+            idxs, rows = avail[:m], free[:m]
+            free = free[m:]
+            self._activate_parked(pk, idxs, rows)
+            admitted = True
+            if not pk.pending_rows():
+                self.parked.pop(0)
+
+        # 2. direct admission into remaining free slots (only when no
+        #    parked rows remain — they are older)
+        if free and not self.parked and self._overflow:
+            batch = self._overflow[: len(free)]
+            del self._overflow[: len(batch)]
+            by_bucket = {}
+            for req in batch:
+                b = pick_bucket(req.prompt.shape[1], self.cache_len)
+                by_bucket.setdefault(b, []).append(req)
+            fi = 0
+            for bucket, reqs in sorted(by_bucket.items()):
+                i = 0
+                while i < len(reqs):
+                    # group sizes restricted to {16, 4, 1}: bounds both the
+                    # compile count and resident scratch caches per bucket
+                    rest = len(reqs) - i
+                    k = next(g for g in (16, 4, 1) if g <= rest)
+                    group = reqs[i : i + k]
+                    i += k
+                    rows = free[fi : fi + k]
+                    fi += k
+                    self._prefill_group(bucket, rows, group)
+            admitted = True
+
+        # 3. park ONE overflow group per call (interleaves admission
+        #    prefills with pool decode chunks under sustained burst)
+        parked_rows = sum(len(pk.pending_rows()) for pk in self.parked)
+        if self._overflow and parked_rows < self.park_max_rows:
+            self._park_group(self.park_max_rows - parked_rows)
+
+        return admitted
+
+    def _park_group(self, max_rows: int):
+        """Prefill the oldest same-bucket run of overflow requests into a
+        parked cache and emit their first frames. One group per call."""
+        cfg, scfg = self.cfg, self.scfg
+        bucket = pick_bucket(self._overflow[0].prompt.shape[1], self.cache_len)
+        run = []
+        for req in self._overflow:
+            if pick_bucket(req.prompt.shape[1], self.cache_len) != bucket:
+                break
+            run.append(req)
+            if len(run) >= min(16, max_rows):
+                break
+        k = next(g for g in (16, 4, 1) if g <= len(run))
+        reqs = run[:k]
+        del self._overflow[:k]
+
+        inp = np.zeros((k, cfg.num_codebooks + 1, bucket), np.int32)
+        t_ends = np.zeros((k,), np.int32)
+        for j, req in enumerate(reqs):
+            t = req.prompt.shape[1]
+            inp[j, :, :t] = req.prompt
+            t_ends[j] = t
+        pks = _seed_keys(jnp.asarray([r.seed for r in reqs], jnp.uint32))
+        # fresh cache (NOT the shared scratch): the parked entry owns it
+        cache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype)
+        column, next_keys, cache = prefill_group_parked(
+            self.params, cfg, scfg, jnp.asarray(inp), cache,
+            jnp.asarray(t_ends), pks,
+            jnp.asarray([r.temperature for r in reqs], jnp.float32),
+            jnp.asarray([r.top_p for r in reqs], jnp.float32),
+            jnp.asarray([r.top_k for r in reqs], jnp.int32),
+        )
+        cols = np.asarray(column)
+        nkeys = np.asarray(next_keys)
+        alive = []
+        for j, req in enumerate(reqs):
+            req.out.put(cols[j : j + 1])  # first frame, streamed immediately
+            t = int(t_ends[j])
+            if int(cols[j, 0]) == cfg.im_end_id or self._request_budget(
+                req, t
+            ) <= 1:
+                req.out.put(None)
+                alive.append(False)
+            else:
+                alive.append(True)
+        if any(alive):
+            self.parked.append(
+                _Parked(cache=cache, reqs=list(reqs), t_ends=t_ends,
+                        cols=cols, nkeys=nkeys, alive=alive)
+            )
+
+    def _activate_parked(self, pk: _Parked, idxs, rows):
+        """Move parked rows `idxs` into pool slots `rows` (no re-prefill)."""
+        cfg = self.cfg
+        self.pool = insert_parked_rows(
+            self.pool, pk.cache, jnp.asarray(idxs, jnp.int32),
+            jnp.asarray(rows, jnp.int32),
+        )
+        p = self.pool_size
+        mask = np.zeros((p,), bool)
+        n_token = np.zeros((p, cfg.num_codebooks + 1), np.int32)
+        n_pos = np.zeros((p,), np.int32)
+        n_keys = np.zeros((p, 2), np.uint32)
+        n_temp = np.zeros((p,), np.float32)
+        n_top_p = np.zeros((p,), np.float32)
+        n_top_k = np.zeros((p,), np.int32)
+        for j, r in zip(idxs, rows):
+            req = pk.reqs[j]
+            t = int(pk.t_ends[j])
+            s = self.slots[r]
+            s.active = True
+            s.request = req
+            s.pos = t
+            s.budget_left = self._request_budget(req, t) - 1
+            mask[r] = True
+            n_token[r] = pk.cols[j]
+            n_pos[r] = t
+            n_keys[r] = pk.nkeys[j]
+            n_temp[r] = req.temperature
+            n_top_p[r] = req.top_p
+            n_top_k[r] = req.top_k
+            pk.alive[j] = False
+        (self.token, self.pos, self.window, self.keys, self.active,
+         self.temperature, self.top_p, self.top_k) = _apply_admission(
+            self.token, self.pos, self.window, self.keys, self.active,
+            self.temperature, self.top_p, self.top_k,
+            jnp.asarray(mask), jnp.asarray(n_token), jnp.asarray(n_pos),
+            jnp.asarray(n_keys), jnp.asarray(n_temp), jnp.asarray(n_top_p),
+            jnp.asarray(n_top_k),
+        )
 
     def _prefill_group(self, bucket: int, rows, reqs):
         cfg, scfg = self.cfg, self.scfg

@@ -126,6 +126,22 @@ class TTSInferenceEngine:
         n = t * self.codec_cfg.frame_length
         return np.asarray(audio[0, 0, :n], dtype=np.float32)
 
+    def _decode_vq_device(self, codes_dev):
+        """Device-resident variant: dispatch the codec decode on a jax
+        (num_codebooks, T) array WITHOUT any host sync (the low-TTFA
+        streaming path — the LM chunk that produced `codes_dev` may still
+        be in flight). Returns the device audio (1, 1, bucket*frame);
+        the caller fetches and slices to the confirmed frame count."""
+        import jax.lax
+
+        t = codes_dev.shape[1]
+        bucket = next((b for b in self.code_buckets if t <= b), t)
+        padded = jax.lax.dynamic_update_slice(
+            jnp.zeros((codes_dev.shape[0], bucket), jnp.int32),
+            codes_dev.astype(jnp.int32), (0, 0),
+        )
+        return self._decode_jit(self.codec_params, padded[None])
+
     # -- main entry --
 
     def inference(self, req: TTSRequest) -> Generator[InferenceResult, None, None]:
@@ -177,13 +193,29 @@ class TTSInferenceEngine:
                     prompt_tokens=list(prompt_tokens) or None,
                     seed=req.seed if req.seed is not None else 42,
                     stream_partials=req.streaming,
+                    device_partials=(
+                        req.streaming
+                        and not getattr(self.session, "concurrent", False)
+                    ),
                 ):
                     if response.action == "partial":
                         # per-decode-chunk streaming: decode the cumulative
                         # prefix (the codec is causal, so earlier samples are
                         # stable to float precision as the prefix grows) and
                         # emit only the new samples
-                        full = self.decode_vq_tokens(response.codes)
+                        if response.valid_frames is not None:
+                            # device partial: dispatch the codec decode
+                            # FIRST (no host sync), then fetch/trim — the
+                            # im_end/budget confirmation round-trip overlaps
+                            # the codec compute
+                            audio_dev = self._decode_vq_device(response.codes)
+                            n_valid = response.valid_frames()
+                            n = n_valid * self.codec_cfg.frame_length
+                            full = np.asarray(
+                                audio_dev[0, 0, :n], dtype=np.float32
+                            )
+                        else:
+                            full = self.decode_vq_tokens(response.codes)
                         if len(full) > emitted:
                             yield InferenceResult(
                                 code="segment",

@@ -330,16 +330,100 @@ def prefill_group_into_pool(params, cfg: DualARConfig, scfg: SamplingConfig,
     return column, next_keys, pool, scratch
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def prefill_group_parked(params, cfg: DualARConfig, scfg: SamplingConfig,
+                         inp, scratch, t_ends, keys, temperature, top_p,
+                         top_k):
+    """Group prefill WITHOUT a pool slot: the burst-admission path.
+
+    When the decode pool is fully occupied, arriving requests are still
+    prefilled (so their first frame streams back immediately) and their
+    caches PARKED; freed slots later receive the parked rows via
+    `insert_parked_rows` without re-running the prefill. `scratch` is a
+    fresh (L, k, bucket, H, D) cache owned by the parked entry afterwards
+    (NOT donated: it must outlive this call).
+
+    Returns (first_columns (k, C+1), next_keys (k, 2), cache).
+    """
+    k = inp.shape[0]
+    logits_full, hidden, scratch = dual_ar.prefill(
+        params, cfg, inp, scratch, jnp.zeros((k,), jnp.int32), t_ends
+    )
+    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
+    logits = jnp.concatenate(
+        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
+        axis=1,
+    )
+    window = jnp.zeros((k, scfg.ras_win_size), jnp.int32)
+    column, next_keys = _sample_column_rows(
+        params, cfg, scfg, logits, hidden, window, keys,
+        temperature, top_p, top_k, None,
+    )
+    return column, next_keys, scratch
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def insert_parked_rows(pool, parked_cache, idxs, rows):
+    """Move parked cache rows `idxs` into pool rows `rows` in-place
+    (donated pool). Compiles once per (parked shape, len(idxs)) pair;
+    callers bound len(idxs) to the admission group sizes."""
+    group = {
+        "k": parked_cache["k"][:, idxs],
+        "v": parked_cache["v"][:, idxs],
+    }
+    return dual_ar.insert_cache_rows(pool, group, rows)
+
+
 # ---------------------------------------------------------------------------
 # Host-side generation driver
 # ---------------------------------------------------------------------------
 
 
+class StreamPartial:
+    """A cumulative (C+1, n) column matrix that is still ON DEVICE.
+
+    Yielded by `generate_stream(device_partials=True)` BEFORE any host
+    sync, so a streaming consumer can dispatch downstream device work
+    (codec decode) pipelined behind the LM step instead of paying a host
+    round-trip first — the mechanism behind sub-200 ms first audio
+    through a remote-device tunnel. `host()` fetches (and caches) the
+    values; `valid_frames()` additionally applies the im_end / budget
+    trim that the host path applies before yielding. The device array may
+    overshoot: it always contains whole decode chunks.
+    """
+
+    def __init__(self, device_cols, im_end_id: int, max_cols: int):
+        self.device_cols = device_cols  # (C+1, n) cumulative, untrimmed
+        self._im_end_id = im_end_id
+        self._max_cols = max_cols
+        self._host = None
+        try:  # start the transfer early; harmless if unsupported
+            device_cols.copy_to_host_async()
+        except Exception:
+            pass
+
+    def host(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(self.device_cols)
+        return self._host
+
+    def valid_frames(self) -> int:
+        """Number of leading columns that are real frames: stops BEFORE
+        the first im_end and never exceeds the generation budget."""
+        cols = self.host()
+        n = min(cols.shape[1], self._max_cols)
+        ends = np.flatnonzero(cols[0, :n] == self._im_end_id)
+        return int(ends[0]) if len(ends) else n
+
+
 @dataclass
 class GenerateResponse:
-    action: str  # "sample" | "next"
+    action: str  # "sample" | "next" | "partial"
     codes: Optional[np.ndarray] = None
     text: Optional[str] = None
+    # device-partial streaming (see StreamPartial): codes is a jax array
+    # and valid_frames() must be consulted before emitting audio
+    valid_frames: Optional[object] = None
 
 
 class GenerationSession:
@@ -427,6 +511,7 @@ class GenerationSession:
         audio_features: Optional[np.ndarray] = None,
         audio_mask: Optional[np.ndarray] = None,
         pipeline_lookahead: int = 0,
+        device_partials: bool = False,
     ):
         """Streaming variant of `generate`: yields the CUMULATIVE (C+1, n)
         columns after the prefill frame and after every decode chunk (the
@@ -480,6 +565,11 @@ class GenerationSession:
             self.params, cfg, scfg, jnp.asarray(inp), self.cache, offsets,
             jnp.int32(t), pk, temperature, top_p, top_k, feats, mask,
         )
+        if device_partials:
+            yield from self._stream_device(
+                column, t, budget, key, temperature, top_p, top_k
+            )
+            return
         columns = [np.asarray(column)]  # list of (B, C+1)
         yield np.concatenate(columns, axis=0).T
         if int(column[0, 0]) == cfg.im_end_id:
@@ -522,6 +612,42 @@ class GenerationSession:
                 return
             columns.append(cols)
             yield np.concatenate(columns, axis=0).T
+
+    def _stream_device(self, column, t, budget, key, temperature, top_p,
+                       top_k):
+        """Device-resident streaming: yields StreamPartial objects BEFORE
+        any host sync so the consumer can pipeline codec work behind the
+        LM step (the sub-200 ms TTFA path). Host checks for im_end happen
+        after the consumer resumes, reusing the partial's cached fetch.
+        Yields whole chunks untrimmed; consumers apply valid_frames()."""
+        cfg, scfg = self.cfg, self.scfg
+        cum = column.T  # (C+1, 1) device
+        partial = StreamPartial(cum, cfg.im_end_id, budget)
+        yield partial
+        if int(partial.host()[0, -1]) == cfg.im_end_id:
+            return
+
+        pos = jnp.int32(t)
+        pos_host = t
+        token = column
+        window = jnp.zeros((1, scfg.ras_win_size), jnp.int32)
+        dispatch_left = budget - 1
+        first = True
+        while dispatch_left > 0:
+            n = self.first_chunk_size if first else self.decode_chunk_size
+            first = False
+            kv_len = self._kv_bucket(pos_host + n + 1)
+            cols, token, self.cache, pos, window, key, _ = decode_chunk(
+                self.params, cfg, scfg, int(n), token, self.cache, pos,
+                window, key, temperature, top_p, top_k, None, kv_len,
+            )
+            cum = jnp.concatenate([cum, cols[:, 0, :].T], axis=1)
+            pos_host += n
+            dispatch_left -= n
+            partial = StreamPartial(cum, cfg.im_end_id, budget)
+            yield partial
+            if (partial.host()[0] == cfg.im_end_id).any():
+                return
 
     def generate_batch(
         self,
@@ -706,6 +832,7 @@ def generate_long(
     seed: int = 42,
     logger=None,
     stream_partials: bool = False,
+    device_partials: bool = False,
 ) -> Generator[GenerateResponse, None, None]:
     """Chunked long-form generation: split text on speaker tags, batch turns,
     generate sequentially, carrying generated codes forward as conversation
@@ -715,7 +842,12 @@ def generate_long(
     CUMULATIVE codes of the in-progress segment after every decode chunk
     (sub-second first audio; the reference streams only whole segments,
     `inference.py:485-520`). The closing action="sample" repeats the full
-    segment codes as before."""
+    segment codes as before.
+
+    device_partials (with stream_partials): partial responses carry the
+    cumulative codes as DEVICE arrays yielded before any host sync, plus a
+    `valid_frames` callable that fetches/trims; a codec consumer dispatches
+    its decode pipelined behind the LM step (the low-TTFA path)."""
     assert 0 < top_p <= 1, "top_p must be in (0, 1]"
     assert 0 < temperature < 2, "temperature must be in (0, 2)"
 
@@ -763,7 +895,29 @@ def generate_long(
 
             t0 = time.perf_counter()
             key, gk = jax.random.split(key)
-            if stream_partials:
+            if stream_partials and device_partials:
+                last = None
+                for last in session.generate_stream(
+                    encoded, gk, max_new_tokens=max_new_tokens,
+                    temperature=temperature, top_p=top_p, top_k=top_k,
+                    device_partials=True,
+                ):
+                    yield GenerateResponse(
+                        action="partial",
+                        codes=last.device_cols[1:],
+                        text=batch_text,
+                        valid_frames=last.valid_frames,
+                    )
+                # reconstruct the trimmed host sequence (incl. a trailing
+                # im_end column if present) to match the host path's `seq`
+                host = last.host()
+                valid = last.valid_frames()
+                has_end = (
+                    valid < host.shape[1]
+                    and int(host[0, valid]) == cfg.im_end_id
+                )
+                seq = host[:, : valid + 1 if has_end else valid]
+            elif stream_partials:
                 seq = None
                 for seq in session.generate_stream(
                     encoded, gk, max_new_tokens=max_new_tokens,

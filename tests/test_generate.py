@@ -142,6 +142,79 @@ def test_generate_stream_cumulative(session):
     np.testing.assert_array_equal(outs[-1], full)
 
 
+def test_generate_stream_device_partials_equivalent(session):
+    """device_partials=True yields device-resident cumulative columns whose
+    trimmed values are IDENTICAL to the host streaming path for the same
+    key (the low-TTFA engine path must not change outputs)."""
+    cfg = session.cfg
+    rng = np.random.default_rng(12)
+    prompt = np.zeros((cfg.num_codebooks + 1, 8), dtype=np.int32)
+    prompt[0] = rng.integers(4, 200, size=8)
+
+    host_outs = list(
+        session.generate_stream(
+            prompt, jax.random.PRNGKey(5), max_new_tokens=18
+        )
+    )
+    dev_parts = list(
+        session.generate_stream(
+            prompt, jax.random.PRNGKey(5), max_new_tokens=18,
+            device_partials=True,
+        )
+    )
+    assert len(dev_parts) == len(host_outs)
+    # trimmed device values == host values at every yield
+    for hp, dp in zip(host_outs, dev_parts):
+        dev_host = dp.host()
+        n_valid = dp.valid_frames()
+        # host yields include a trailing im_end column; valid_frames stops
+        # before it — compare the common frame prefix and the budget cap
+        n_host_frames = hp.shape[1] - (
+            1 if hp[0, -1] == cfg.im_end_id else 0
+        )
+        assert n_valid == min(n_host_frames, 18)
+        np.testing.assert_array_equal(
+            dev_host[:, :n_valid], hp[:, :n_valid]
+        )
+    # full sequence reconstructable from the last partial
+    last = dev_parts[-1]
+    v = last.valid_frames()
+    np.testing.assert_array_equal(
+        last.host()[1:, :v], host_outs[-1][1:, :v]
+    )
+
+
+def test_generate_long_device_partials_audio_equivalence(session, tokenizer):
+    """generate_long(device_partials=True) partials, trimmed via
+    valid_frames(), must reproduce the host partials exactly."""
+    from fish_speech_tpu.generate import generate_long
+
+    kw = dict(
+        session=session, tokenizer=tokenizer, text="hello world",
+        max_new_tokens=12, seed=7, stream_partials=True,
+    )
+    host = [
+        (r.action, None if r.codes is None else np.asarray(r.codes))
+        for r in generate_long(**kw)
+    ]
+    dev = []
+    for r in generate_long(**kw, device_partials=True):
+        if r.action == "partial":
+            n = r.valid_frames()
+            dev.append(("partial", np.asarray(r.codes)[:, :n]))
+        else:
+            dev.append((r.action, None if r.codes is None else r.codes))
+    host_partials = [c for a, c in host if a == "partial"]
+    dev_partials = [c for a, c in dev if a == "partial"]
+    assert len(host_partials) == len(dev_partials)
+    for h, d in zip(host_partials, dev_partials):
+        np.testing.assert_array_equal(h, d)
+    h_sample = [c for a, c in host if a == "sample"]
+    d_sample = [c for a, c in dev if a == "sample"]
+    assert len(h_sample) == len(d_sample) == 1
+    np.testing.assert_array_equal(h_sample[0], d_sample[0])
+
+
 def test_odd_max_seq_len_bucket_clamped():
     """A non-power-of-two max_seq_len must not pick a prompt bucket larger
     than the rope table (ADVICE r1: bucket 4096 for max_seq_len 3000)."""
