@@ -458,12 +458,16 @@ def run_burst(args):
                     first[i] = time.perf_counter() - t0
                 frames[i] += item.shape[0]
 
+        # watchers start BEFORE submission so first-chunk timestamps are
+        # put-time, not thread-startup time
         watchers = []
         for i, r in enumerate(reqs):
-            q = batcher.submit(r)
-            th = threading.Thread(target=watch, args=(i, q))
+            th = threading.Thread(target=watch, args=(i, r.out))
             th.start()
             watchers.append(th)
+        t0 = time.perf_counter()
+        for r in reqs:
+            batcher.submit(r)
         for th in watchers:
             th.join(timeout=1200)
         return first, done_t, sum(frames), max(d for d in done_t if d)

@@ -32,8 +32,20 @@ HBM-bandwidth-bound).
 from __future__ import annotations
 
 import functools
+import os
 import queue
+import sys
 import threading
+import time as _time
+
+_DEBUG = bool(os.environ.get("FS_BATCHER_DEBUG"))
+_T0 = _time.perf_counter()
+
+
+def _dbg(msg: str):
+    if _DEBUG:
+        print(f"[batcher +{_time.perf_counter()-_T0:8.3f}s] {msg}",
+              file=sys.stderr, flush=True)
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -45,10 +57,9 @@ from fish_speech_tpu.config import DualARConfig, SamplingConfig
 from fish_speech_tpu.ops.sampling import check_top_k
 from fish_speech_tpu.generate import (
     decode_chunk_multi,
-    insert_parked_rows,
     pick_bucket,
-    prefill_group_into_pool,
     prefill_group_parked,
+    scatter_parked_rows,
 )
 from fish_speech_tpu.models import dual_ar
 
@@ -192,7 +203,6 @@ class ContinuousBatcher:
 
         b = pool_size
         self.pool = dual_ar.init_kv_cache(self.cfg, b, self.cache_len, dtype)
-        self._scratch = {}  # per-bucket single-seq prefill caches
         self.token = jnp.zeros((b, self.cfg.num_codebooks + 1), jnp.int32)
         self.pos = jnp.zeros((b,), jnp.int32)
         self.window = jnp.zeros((b, self.scfg.ras_win_size), jnp.int32)
@@ -208,6 +218,7 @@ class ContinuousBatcher:
         self.parked: List[_Parked] = []
         self.park_max_rows = pool_size
         self._overflow: List[BatchRequest] = []  # FIFO, drained from pending
+        self._compiled_buckets = set()
         self.pending: "queue.Queue[BatchRequest]" = queue.Queue()
         self._stop = threading.Event()
         self._wake = threading.Event()
@@ -291,13 +302,16 @@ class ContinuousBatcher:
             m = next(g for g in (16, 4, 1) if g <= m)
             idxs, rows = avail[:m], free[:m]
             free = free[m:]
+            _dbg(f"activate_parked m={m} rows={rows}")
             self._activate_parked(pk, idxs, rows)
             admitted = True
             if not pk.pending_rows():
                 self.parked.pop(0)
 
         # 2. direct admission into remaining free slots (only when no
-        #    parked rows remain — they are older)
+        #    parked rows remain — they are older). Unified with the parked
+        #    path: prefill the group (first frames stream immediately),
+        #    then activate into free rows with the fixed-shape scatter.
         if free and not self.parked and self._overflow:
             batch = self._overflow[: len(free)]
             del self._overflow[: len(batch)]
@@ -305,7 +319,6 @@ class ContinuousBatcher:
             for req in batch:
                 b = pick_bucket(req.prompt.shape[1], self.cache_len)
                 by_bucket.setdefault(b, []).append(req)
-            fi = 0
             for bucket, reqs in sorted(by_bucket.items()):
                 i = 0
                 while i < len(reqs):
@@ -315,9 +328,14 @@ class ContinuousBatcher:
                     k = next(g for g in (16, 4, 1) if g <= rest)
                     group = reqs[i : i + k]
                     i += k
-                    rows = free[fi : fi + k]
-                    fi += k
-                    self._prefill_group(bucket, rows, group)
+                    _dbg(f"admit_group k={k} bucket={bucket}")
+                    pk = self._prefill_parked(bucket, group)
+                    if pk is not None:
+                        avail = pk.pending_rows()
+                        rows = free[: len(avail)]
+                        free = free[len(avail):]
+                        self._activate_parked(pk, avail, rows)
+                    _dbg(f"admit_group k={k} done")
             admitted = True
 
         # 3. park ONE overflow group per call (interleaves admission
@@ -329,9 +347,9 @@ class ContinuousBatcher:
         return admitted
 
     def _park_group(self, max_rows: int):
-        """Prefill the oldest same-bucket run of overflow requests into a
-        parked cache and emit their first frames. One group per call."""
-        cfg, scfg = self.cfg, self.scfg
+        """Prefill the oldest same-bucket run of overflow requests and PARK
+        the group (no free slots). One group per call."""
+        cfg = self.cfg
         bucket = pick_bucket(self._overflow[0].prompt.shape[1], self.cache_len)
         run = []
         for req in self._overflow:
@@ -343,7 +361,21 @@ class ContinuousBatcher:
         k = next(g for g in (16, 4, 1) if g <= len(run))
         reqs = run[:k]
         del self._overflow[:k]
+        _dbg(f"park_group k={k} bucket={bucket}")
+        pk = self._prefill_parked(bucket, reqs)
+        if pk is not None:
+            self.parked.append(pk)
+        _dbg(f"park_group k={k} done")
 
+    def _prefill_parked(self, bucket: int, reqs) -> Optional[_Parked]:
+        """Group-prefill `reqs` (first frames stream back immediately) and
+        return the parked entry, or None if nothing survives (instant
+        im_end / exhausted budget). Used by BOTH direct admission (rows
+        activate right away) and burst overflow (rows activate when slots
+        free)."""
+        cfg, scfg = self.cfg, self.scfg
+        self._ensure_bucket_compiled(bucket)
+        k = len(reqs)
         inp = np.zeros((k, cfg.num_codebooks + 1, bucket), np.int32)
         t_ends = np.zeros((k,), np.int32)
         for j, req in enumerate(reqs):
@@ -351,7 +383,7 @@ class ContinuousBatcher:
             inp[j, :, :t] = req.prompt
             t_ends[j] = t
         pks = _seed_keys(jnp.asarray([r.seed for r in reqs], jnp.uint32))
-        # fresh cache (NOT the shared scratch): the parked entry owns it
+        # fresh cache (NOT shared scratch): the parked entry owns it
         cache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype)
         column, next_keys, cache = prefill_group_parked(
             self.params, cfg, scfg, jnp.asarray(inp), cache,
@@ -373,20 +405,61 @@ class ContinuousBatcher:
                 alive.append(False)
             else:
                 alive.append(True)
-        if any(alive):
-            self.parked.append(
-                _Parked(cache=cache, reqs=list(reqs), t_ends=t_ends,
-                        cols=cols, nkeys=nkeys, alive=alive)
+        if not any(alive):
+            return None
+        return _Parked(cache=cache, reqs=list(reqs), t_ends=t_ends,
+                       cols=cols, nkeys=nkeys, alive=alive)
+
+    def _ensure_bucket_compiled(self, bucket: int):
+        """Deterministically compile every admission signature this bucket
+        can produce, BEFORE the first real admission uses it. Admission
+        group sizes depend on arrival-race timing; without this, a burst
+        could hit an uncompiled (k, bucket) signature mid-measurement and
+        stall every client behind a multi-second remote compile (observed:
+        first-chunk p50 jumping 1.2 s -> 27 s run-to-run). All dummy calls
+        are value-preserving: the parked prefill writes only its own fresh
+        scratch, and the scatter runs with an all-False take mask."""
+        if bucket in self._compiled_buckets:
+            return
+        self._compiled_buckets.add(bucket)
+        cfg, scfg = self.cfg, self.scfg
+        p = self.pool_size
+        ks = sorted({g for g in (16, 4, 1) if g <= max(p, 1)} | {1})
+        for k in ks:
+            zi = jnp.zeros((k, cfg.num_codebooks + 1, bucket), jnp.int32)
+            zcache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype)
+            ends = jnp.ones((k,), jnp.int32)
+            pks = _seed_keys(jnp.zeros((k,), jnp.uint32))
+            ones = jnp.ones((k,), jnp.float32)
+            _, _, zcache = prefill_group_parked(
+                self.params, cfg, scfg, zi, zcache, ends, pks, ones, ones,
+                jnp.ones((k,), jnp.int32),
             )
+            self.pool = scatter_parked_rows(
+                self.pool, zcache, jnp.zeros((p,), jnp.int32),
+                jnp.arange(p, dtype=jnp.int32), jnp.zeros((p,), bool),
+            )
+        jax.block_until_ready(self.pool)
+        _dbg(f"bucket {bucket} admission signatures compiled")
 
     def _activate_parked(self, pk: _Parked, idxs, rows):
-        """Move parked rows `idxs` into pool slots `rows` (no re-prefill)."""
+        """Move parked rows `idxs` into pool slots `rows` (no re-prefill)
+        via the fixed-shape masked scatter (one compile per bucket/k)."""
         cfg = self.cfg
-        self.pool = insert_parked_rows(
-            self.pool, pk.cache, jnp.asarray(idxs, jnp.int32),
-            jnp.asarray(rows, jnp.int32),
-        )
         p = self.pool_size
+        src_idx = np.zeros((p,), np.int32)
+        take = np.zeros((p,), bool)
+        # rows is a permutation of pool rows: targeted rows first, the
+        # remaining rows mapped to themselves with take=False
+        row_perm = list(rows) + [r for r in range(p) if r not in rows]
+        for j, r in zip(idxs, rows):
+            pos_in_perm = row_perm.index(r)
+            src_idx[pos_in_perm] = j
+            take[pos_in_perm] = True
+        self.pool = scatter_parked_rows(
+            self.pool, pk.cache, jnp.asarray(src_idx),
+            jnp.asarray(row_perm, jnp.int32), jnp.asarray(take),
+        )
         mask = np.zeros((p,), bool)
         n_token = np.zeros((p, cfg.num_codebooks + 1), np.int32)
         n_pos = np.zeros((p,), np.int32)
@@ -410,83 +483,6 @@ class ContinuousBatcher:
             n_top_p[r] = req.top_p
             n_top_k[r] = req.top_k
             pk.alive[j] = False
-        (self.token, self.pos, self.window, self.keys, self.active,
-         self.temperature, self.top_p, self.top_k) = _apply_admission(
-            self.token, self.pos, self.window, self.keys, self.active,
-            self.temperature, self.top_p, self.top_k,
-            jnp.asarray(mask), jnp.asarray(n_token), jnp.asarray(n_pos),
-            jnp.asarray(n_keys), jnp.asarray(n_temp), jnp.asarray(n_top_p),
-            jnp.asarray(n_top_k),
-        )
-
-    def _prefill_group(self, bucket: int, rows, reqs):
-        cfg, scfg = self.cfg, self.scfg
-        k = len(reqs)
-        skey = (k, bucket)
-        if skey not in self._scratch:
-            # group scratch only spans the prompt bucket; decode overwrites
-            # later pool positions before they are ever attended
-            self._scratch[skey] = dual_ar.init_kv_cache(
-                cfg, k, bucket, self.dtype
-            )
-        inp = np.zeros((k, cfg.num_codebooks + 1, bucket), np.int32)
-        t_ends = np.zeros((k,), np.int32)
-        for j, req in enumerate(reqs):
-            t = req.prompt.shape[1]
-            inp[j, :, :t] = req.prompt
-            t_ends[j] = t
-        pks = _seed_keys(jnp.asarray([r.seed for r in reqs], jnp.uint32))
-
-        column, next_keys, self.pool, self._scratch[skey] = (
-            prefill_group_into_pool(
-                self.params, cfg, scfg, jnp.asarray(inp), self.pool,
-                self._scratch[skey], jnp.asarray(rows, jnp.int32),
-                jnp.asarray(t_ends), pks,
-                jnp.asarray([r.temperature for r in reqs], jnp.float32),
-                jnp.asarray([r.top_p for r in reqs], jnp.float32),
-                jnp.asarray([r.top_k for r in reqs], jnp.int32),
-            )
-        )
-        cols = np.asarray(column)  # (k, C+1)
-        nkeys = np.asarray(next_keys)  # (k, 2)
-
-        # build full-pool-sized update buffers on the host (free), then fold
-        # them into device state with ONE fixed-shape jitted call
-        p = self.pool_size
-        mask = np.zeros((p,), bool)
-        n_token = np.zeros((p, cfg.num_codebooks + 1), np.int32)
-        n_pos = np.zeros((p,), np.int32)
-        n_keys = np.zeros((p, 2), np.uint32)
-        n_temp = np.zeros((p,), np.float32)
-        n_top_p = np.zeros((p,), np.float32)
-        n_top_k = np.zeros((p,), np.int32)
-        for j, req in enumerate(reqs):
-            req.out.put(cols[j : j + 1])  # first frame
-            t = int(t_ends[j])
-            budget = (
-                req.max_new_tokens
-                if req.max_new_tokens and t + req.max_new_tokens <= cfg.max_seq_len
-                else cfg.max_seq_len - t
-            )
-            if int(cols[j, 0]) == cfg.im_end_id or budget <= 1:
-                req.out.put(None)
-                continue
-            s = self.slots[rows[j]]
-            s.active = True
-            s.request = req
-            s.pos = t
-            s.budget_left = budget - 1
-            r = rows[j]
-            mask[r] = True
-            n_token[r] = cols[j]
-            n_pos[r] = t
-            n_keys[r] = nkeys[j]
-            n_temp[r] = req.temperature
-            n_top_p[r] = req.top_p
-            n_top_k[r] = req.top_k
-
-        if not mask.any():
-            return
         (self.token, self.pos, self.window, self.keys, self.active,
          self.temperature, self.top_p, self.top_k) = _apply_admission(
             self.token, self.pos, self.window, self.keys, self.active,
@@ -524,6 +520,7 @@ class ContinuousBatcher:
                 self.temperature, self.top_p, self.top_k, kv_len,
             )
             cols_np = np.asarray(cols)  # (n, B, C+1)
+            _dbg(f"chunk n={n} kv={kv_len} active={int(np.asarray(self.active).sum())}")
             still_active = np.asarray(self.active)
             pos_np = np.asarray(self.pos)
             for i, s in enumerate(self.slots):

@@ -363,15 +363,27 @@ def prefill_group_parked(params, cfg: DualARConfig, scfg: SamplingConfig,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def insert_parked_rows(pool, parked_cache, idxs, rows):
-    """Move parked cache rows `idxs` into pool rows `rows` in-place
-    (donated pool). Compiles once per (parked shape, len(idxs)) pair;
-    callers bound len(idxs) to the admission group sizes."""
-    group = {
-        "k": parked_cache["k"][:, idxs],
-        "v": parked_cache["v"][:, idxs],
+def scatter_parked_rows(pool, parked_cache, src_idx, rows, take):
+    """Move parked cache rows into pool rows in-place (donated pool) with a
+    FIXED-SHAPE signature: src_idx/rows/take are all pool-sized, `rows` is
+    a permutation of the pool rows, and pool row rows[i] receives parked
+    row src_idx[i] only where take[i]. One compile per (pool, parked-k,
+    bucket) triple regardless of how many rows an admission moves — and a
+    take=False call is a value-preserving no-op, so every signature can be
+    precompiled safely at any time (admission latency must never depend on
+    which group sizes a bursty arrival race happened to produce)."""
+    s = parked_cache["k"].shape[2]
+    t = take[None, :, None, None, None]
+
+    def upd(pool_arr, parked_arr):
+        sel = parked_arr[:, src_idx].astype(pool_arr.dtype)  # (L,P,s,H,D)
+        cur = pool_arr[:, rows, :s]
+        return pool_arr.at[:, rows, :s].set(jnp.where(t, sel, cur))
+
+    return {
+        "k": upd(pool["k"], parked_cache["k"]),
+        "v": upd(pool["v"], parked_cache["v"]),
     }
-    return dual_ar.insert_cache_rows(pool, group, rows)
 
 
 # ---------------------------------------------------------------------------
