@@ -116,8 +116,12 @@ def resample(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
 
 
 def load_audio(path_or_bytes, target_sr: int) -> np.ndarray:
-    """Read any supported audio (WAV or FLAC), downmix to mono, resample.
-    Returns (T,)."""
+    """Read any supported audio, downmix to mono, resample. Returns (T,).
+
+    WAV and FLAC decode through the self-contained readers; anything else
+    (mp3, ogg-opus/vorbis, m4a, ...) falls back to the libav shim, matching
+    the reference's torchaudio/soundfile input breadth (reference
+    `fish_speech/utils/file.py` AUDIO_EXTENSIONS)."""
     if isinstance(path_or_bytes, (bytes, bytearray)):
         head = bytes(path_or_bytes[:4])
     else:
@@ -131,7 +135,20 @@ def load_audio(path_or_bytes, target_sr: int) -> np.ndarray:
                 path_or_bytes = f.read()
         samples, sr = decode_flac_float(bytes(path_or_bytes))
         x = samples.T  # (C, T)
-    else:
+    elif head[:4] == b"RIFF":
         x, sr = read_wav(path_or_bytes)
+    else:
+        from fish_speech_tpu.audio import libav
+
+        if not isinstance(path_or_bytes, (bytes, bytearray)):
+            with open(str(path_or_bytes), "rb") as f:
+                path_or_bytes = f.read()
+        try:
+            samples, sr = libav.decode_bytes(bytes(path_or_bytes))
+        except Exception as e:
+            raise ValueError(
+                f"Unrecognized audio (not WAV/FLAC; libav fallback: {e})"
+            ) from e
+        x = samples.T  # (C, T)
     mono = x.mean(axis=0) if x.shape[0] > 1 else x[0]
     return resample(mono, sr, target_sr)

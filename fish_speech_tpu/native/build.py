@@ -1,4 +1,4 @@
-"""Build the native parser: `python -m fish_speech_tpu.native.build`."""
+"""Build the native components: `python -m fish_speech_tpu.native.build`."""
 
 from __future__ import annotations
 
@@ -8,6 +8,8 @@ from pathlib import Path
 
 SRC = Path(__file__).parent / "pb_stream.cc"
 LIB = Path(__file__).parent / "libpb_stream.so"
+AV_SRC = Path(__file__).parent / "av_decode.c"
+AV_LIB = Path(__file__).parent / "libav_decode.so"
 
 
 def build(force: bool = False) -> Path:
@@ -21,6 +23,23 @@ def build(force: bool = False) -> Path:
     return LIB
 
 
+def build_av(force: bool = False) -> Path:
+    """Build the ffmpeg-backed decoder shim (needs libav*-dev headers)."""
+    if (AV_LIB.exists() and not force
+            and AV_LIB.stat().st_mtime >= AV_SRC.stat().st_mtime):
+        return AV_LIB
+    cmd = [
+        "gcc", "-O2", "-shared", "-fPIC", str(AV_SRC), "-o", str(AV_LIB),
+        "-lavformat", "-lavcodec", "-lavutil", "-lswresample",
+    ]
+    subprocess.run(cmd, check=True)
+    return AV_LIB
+
+
 if __name__ == "__main__":
-    path = build(force="--force" in sys.argv)
-    print(f"Built {path}")
+    force = "--force" in sys.argv
+    print(f"Built {build(force=force)}")
+    try:
+        print(f"Built {build_av(force=force)}")
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"libav shim skipped ({e}); WAV/FLAC input paths unaffected")
