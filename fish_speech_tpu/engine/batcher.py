@@ -185,10 +185,16 @@ class ContinuousBatcher:
                  pool_size: int = 4, dtype=jnp.bfloat16,
                  decode_chunk_size: int = 16, first_chunk_size: int = 0,
                  idle_sleep: float = 0.002):
-        from fish_speech_tpu.models.dual_ar import precompute_semantic_head
+        from fish_speech_tpu.models.dual_ar import (
+            fuse_ffn_weights,
+            is_multidevice,
+            precompute_semantic_head,
+        )
 
-        # pre-sliced restricted head (see GenerationSession.__init__)
+        # pre-sliced restricted head + fused w13 (see GenerationSession)
         self.params = precompute_semantic_head(params, cfg)
+        if not is_multidevice(params):
+            self.params = fuse_ffn_weights(self.params)
         self.cfg = cfg.resolve()
         self.scfg = scfg or SamplingConfig()
         self.dtype = dtype

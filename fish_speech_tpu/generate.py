@@ -444,11 +444,16 @@ class GenerationSession:
     def __init__(self, params, cfg: DualARConfig, scfg: SamplingConfig = None,
                  max_batch: int = 1, dtype=jnp.bfloat16,
                  decode_chunk_size: int = 32, kv_buckets=(512, 1024, 2048),
-                 first_chunk_size: int = 0, pipeline_lookahead: int = 1):
-        # Inference-only augmentation: pre-slice the restricted LM head so
-        # the decode scan reads it directly instead of re-slicing the full
-        # head every frame (checkpoint save/training never see this key).
+                 first_chunk_size: int = 0, pipeline_lookahead: int = 1,
+                 fuse_ffn: bool = True):
+        # Inference-only augmentations (checkpoint save/training never see
+        # these): pre-slice the restricted LM head so the decode scan reads
+        # it directly instead of re-slicing the full head every frame, and
+        # fuse each layer's w1|w3 into one w13 matmul (single-device only:
+        # under tp the naive concat would interleave shards wrong).
         self.params = dual_ar.precompute_semantic_head(params, cfg)
+        if fuse_ffn and not dual_ar.is_multidevice(params):
+            self.params = dual_ar.fuse_ffn_weights(self.params)
         self.cfg = cfg.resolve()
         self.scfg = scfg or SamplingConfig()
         self.dtype = dtype

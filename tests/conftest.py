@@ -13,6 +13,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 # Single-core CI box: avoid thread oversubscription.
 os.environ.setdefault("XLA_CPU_MULTI_THREAD_EIGEN", "false")
+# Persistent compile cache: the suite is dominated by jit compiles (the
+# fast tier is ~15 min cold, ~4 min warm on one core); keyed on HLO+flags,
+# so edits to model code invalidate exactly the affected entries.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax
 

@@ -243,3 +243,76 @@ def test_prefill_per_row_t_end_matches_single(setup):
             np.asarray(cache["k"][:, i, :t]), np.asarray(c1["k"][:, 0, :t]),
             rtol=2e-5, atol=2e-5, err_msg=f"row {i} cache",
         )
+
+
+class TestFFNFusion:
+    """`fuse_ffn_weights` (w1|w3 -> w13) must be numerically identical to
+    the split form on every weight format the runtime supports."""
+
+    def test_plain_weights_exact(self, setup):
+        cfg, params = setup
+        fused = dual_ar.fuse_ffn_weights(params)
+        assert "w13" in fused["layers"] and "w1" not in fused["layers"]
+        assert "w13" in fused["fast"]["layers"]
+        inp = jnp.asarray(random_prompt(cfg, 12)[None])
+        ref_tok, ref_cb = dual_ar.forward_train(params, cfg, inp, remat=False)
+        got_tok, got_cb = dual_ar.forward_train(fused, cfg, inp, remat=False)
+        # per-output-column math is unchanged -> bitwise equal
+        np.testing.assert_array_equal(np.asarray(ref_tok), np.asarray(got_tok))
+        np.testing.assert_array_equal(np.asarray(ref_cb), np.asarray(got_cb))
+
+    @pytest.mark.parametrize("mode", ["int8", "int4"])
+    def test_quantized_weights_exact(self, setup, mode):
+        from fish_speech_tpu.ops.quant import quantize_layer_stack
+
+        cfg, params = setup
+        q = dict(params)
+        q["layers"] = quantize_layer_stack(params["layers"], mode=mode,
+                                           group_size=16)
+        fused = dual_ar.fuse_ffn_weights(q)
+        key = "q" if mode == "int8" else "p"
+        assert key in fused["layers"]["w13"]
+        inp = jnp.asarray(random_prompt(cfg, 8)[None])
+        ref_tok, _ = dual_ar.forward_train(q, cfg, inp, remat=False)
+        got_tok, _ = dual_ar.forward_train(fused, cfg, inp, remat=False)
+        np.testing.assert_array_equal(np.asarray(ref_tok), np.asarray(got_tok))
+
+    def test_generate_tokens_identical(self, setup):
+        from fish_speech_tpu.config import SamplingConfig
+        from fish_speech_tpu.generate import GenerationSession
+
+        cfg, params = setup
+        prompt = random_prompt(cfg, 10)
+        kw = dict(max_batch=1, dtype=jnp.float32, decode_chunk_size=4)
+        s_ref = GenerationSession(params, cfg, SamplingConfig(),
+                                  fuse_ffn=False, **kw)
+        s_fused = GenerationSession(params, cfg, SamplingConfig(),
+                                    fuse_ffn=True, **kw)
+        assert "w13" in s_fused.params["layers"]
+        a = s_ref.generate(prompt, jax.random.PRNGKey(5), max_new_tokens=10)
+        b = s_fused.generate(prompt, jax.random.PRNGKey(5), max_new_tokens=10)
+        np.testing.assert_array_equal(a, b)
+
+    def test_lora_deltas_still_apply(self, setup):
+        from fish_speech_tpu.models.lora import (
+            LoraConfig, add_lora, apply_lora_config,
+        )
+
+        cfg, params = setup
+        lcfg = LoraConfig(r=2, lora_alpha=4)
+        cfg_l = apply_lora_config(cfg, lcfg)
+        params_l = add_lora(params, cfg, lcfg, jax.random.PRNGKey(1),
+                            dtype=jnp.float32)
+        # make the mlp deltas nonzero so the fused path must still add them
+        for stack in (params_l["layers"], params_l["fast"]["layers"]):
+            for name in ("w1", "w3"):
+                if name in stack.get("lora", {}):
+                    stack["lora"][name]["b"] = (
+                        stack["lora"][name]["b"] + 0.05
+                    )
+        fused = dual_ar.fuse_ffn_weights(params_l)
+        assert "w1" in fused["layers"]["lora"]
+        inp = jnp.asarray(random_prompt(cfg, 8)[None])
+        ref_tok, _ = dual_ar.forward_train(params_l, cfg_l, inp, remat=False)
+        got_tok, _ = dual_ar.forward_train(fused, cfg_l, inp, remat=False)
+        np.testing.assert_array_equal(np.asarray(ref_tok), np.asarray(got_tok))
