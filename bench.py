@@ -72,6 +72,10 @@ def _parse():
                              "arrive at once on a --batch-slot continuous-"
                              "batching pool; reports first-chunk p50/p90")
     parser.add_argument("--clients", type=int, default=32)
+    parser.add_argument("--kv-int8", action="store_true",
+                        help="int8 KV cache (per-position-per-head scales): "
+                             "halves decode KV reads; at 16x2048 serving the "
+                             "KV stream rivals the weight stream")
     args = parser.parse_args()
     if args.int8 and args.quant == "none":
         args.quant = "int8"
@@ -215,7 +219,11 @@ def run_bench(args):
     session = GenerationSession(
         params, cfg, SamplingConfig(), max_batch=args.batch, dtype=dtype,
         decode_chunk_size=args.chunk, first_chunk_size=args.first_chunk,
+        kv_quant=args.kv_int8,
     )
+    # at batch 1 the session holds a fused-w13 copy of the FFN weights;
+    # drop our reference so the split originals free before warmup
+    del params
 
     # Prompt: plain text ids (no reference audio), mimicking a short request.
     rng = np.random.default_rng(0)
@@ -284,6 +292,7 @@ def run_bench(args):
             "params_b": round(n_params / 1e9, 3),
             "platform": jax.devices()[0].platform,
             "quant": args.quant,
+            "kv": "int8" if args.kv_int8 else "bf16",
             "streams": args.batch,
         },
     }

@@ -184,17 +184,13 @@ class ContinuousBatcher:
     def __init__(self, params, cfg: DualARConfig, scfg: SamplingConfig = None,
                  pool_size: int = 4, dtype=jnp.bfloat16,
                  decode_chunk_size: int = 16, first_chunk_size: int = 0,
-                 idle_sleep: float = 0.002):
-        from fish_speech_tpu.models.dual_ar import (
-            fuse_ffn_weights,
-            is_multidevice,
-            precompute_semantic_head,
-        )
+                 idle_sleep: float = 0.002, kv_quant: bool = False):
+        from fish_speech_tpu.models.dual_ar import precompute_semantic_head
 
-        # pre-sliced restricted head + fused w13 (see GenerationSession)
+        # pre-sliced restricted head (see GenerationSession). No w13 fusion
+        # here: the pool always decodes batched (weight reads amortize) and
+        # the fused copy's +2.1 GB HBM would crowd the pool KV cache.
         self.params = precompute_semantic_head(params, cfg)
-        if not is_multidevice(params):
-            self.params = fuse_ffn_weights(self.params)
         self.cfg = cfg.resolve()
         self.scfg = scfg or SamplingConfig()
         self.dtype = dtype
@@ -208,7 +204,9 @@ class ContinuousBatcher:
         ) + (self.cache_len,)
 
         b = pool_size
-        self.pool = dual_ar.init_kv_cache(self.cfg, b, self.cache_len, dtype)
+        self.kv_quant = kv_quant
+        self.pool = dual_ar.init_kv_cache(self.cfg, b, self.cache_len, dtype,
+                                          quant=kv_quant)
         self.token = jnp.zeros((b, self.cfg.num_codebooks + 1), jnp.int32)
         self.pos = jnp.zeros((b,), jnp.int32)
         self.window = jnp.zeros((b, self.scfg.ras_win_size), jnp.int32)
@@ -390,7 +388,8 @@ class ContinuousBatcher:
             t_ends[j] = t
         pks = _seed_keys(jnp.asarray([r.seed for r in reqs], jnp.uint32))
         # fresh cache (NOT shared scratch): the parked entry owns it
-        cache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype)
+        cache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype,
+                                      quant=self.kv_quant)
         column, next_keys, cache = prefill_group_parked(
             self.params, cfg, scfg, jnp.asarray(inp), cache,
             jnp.asarray(t_ends), pks,
@@ -433,7 +432,8 @@ class ContinuousBatcher:
         ks = sorted({g for g in (16, 4, 1) if g <= max(p, 1)} | {1})
         for k in ks:
             zi = jnp.zeros((k, cfg.num_codebooks + 1, bucket), jnp.int32)
-            zcache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype)
+            zcache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype,
+                                           quant=self.kv_quant)
             ends = jnp.ones((k,), jnp.int32)
             pks = _seed_keys(jnp.zeros((k,), jnp.uint32))
             ones = jnp.ones((k,), jnp.float32)

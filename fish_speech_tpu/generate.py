@@ -373,17 +373,15 @@ def scatter_parked_rows(pool, parked_cache, src_idx, rows, take):
     precompiled safely at any time (admission latency must never depend on
     which group sizes a bursty arrival race happened to produce)."""
     s = parked_cache["k"].shape[2]
-    t = take[None, :, None, None, None]
 
     def upd(pool_arr, parked_arr):
-        sel = parked_arr[:, src_idx].astype(pool_arr.dtype)  # (L,P,s,H,D)
+        sel = parked_arr[:, src_idx].astype(pool_arr.dtype)  # (L,P,s,...)
         cur = pool_arr[:, rows, :s]
+        t = take.reshape((1, -1) + (1,) * (pool_arr.ndim - 2))
         return pool_arr.at[:, rows, :s].set(jnp.where(t, sel, cur))
 
-    return {
-        "k": upd(pool["k"], parked_cache["k"]),
-        "v": upd(pool["v"], parked_cache["v"]),
-    }
+    # generic over cache layout: plain {k, v} or int8 {k, v, ks, vs}
+    return {name: upd(pool[name], parked_cache[name]) for name in pool}
 
 
 # ---------------------------------------------------------------------------
@@ -445,13 +443,20 @@ class GenerationSession:
                  max_batch: int = 1, dtype=jnp.bfloat16,
                  decode_chunk_size: int = 32, kv_buckets=(512, 1024, 2048),
                  first_chunk_size: int = 0, pipeline_lookahead: int = 1,
-                 fuse_ffn: bool = True):
+                 fuse_ffn: Optional[bool] = None, kv_quant: bool = False):
         # Inference-only augmentations (checkpoint save/training never see
         # these): pre-slice the restricted LM head so the decode scan reads
         # it directly instead of re-slicing the full head every frame, and
-        # fuse each layer's w1|w3 into one w13 matmul (single-device only:
-        # under tp the naive concat would interleave shards wrong).
+        # fuse each layer's w1|w3 into one w13 matmul. Fusion default is
+        # AUTO: single-stream only — the concat materializes a second copy
+        # of the FFN weights (+2.1 GB on the int8 flagship while the caller
+        # still holds the originals), which OOMs the 16 GB chip at serving
+        # batch x 2048-context KV; at batch 1 there is ample headroom and
+        # the ~0.3 ms/frame win matters most. Skipped for multi-device
+        # params (naive concat would interleave tp shards wrong).
         self.params = dual_ar.precompute_semantic_head(params, cfg)
+        if fuse_ffn is None:
+            fuse_ffn = max_batch == 1
         if fuse_ffn and not dual_ar.is_multidevice(params):
             self.params = dual_ar.fuse_ffn_weights(self.params)
         self.cfg = cfg.resolve()
@@ -479,8 +484,12 @@ class GenerationSession:
         self.kv_buckets = tuple(
             sorted(b for b in kv_buckets if b < self.cache_len)
         ) + (self.cache_len,)
+        # int8 KV cache (per-position-per-head absmax scales): halves the
+        # decode-time KV reads that rival weight reads at large batch x
+        # context; prefill stays exact (fresh-KV attention). Opt-in.
+        self.kv_quant = kv_quant
         self.cache = dual_ar.init_kv_cache(
-            self.cfg, max_batch, self.cache_len, dtype
+            self.cfg, max_batch, self.cache_len, dtype, quant=kv_quant
         )
 
     def _kv_bucket(self, pos_end: int) -> int:
@@ -702,7 +711,9 @@ class GenerationSession:
         offsets = jnp.asarray(offsets_np)
 
         if self.cache["k"].shape[1] != b:
-            self.cache = dual_ar.init_kv_cache(cfg, b, self.cache_len, self.dtype)
+            self.cache = dual_ar.init_kv_cache(
+                cfg, b, self.cache_len, self.dtype, quant=self.kv_quant
+            )
 
         temperature = jnp.float32(temperature)
         top_p = jnp.float32(top_p)

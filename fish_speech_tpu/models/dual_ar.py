@@ -44,7 +44,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from fish_speech_tpu.config import DualARConfig
-from fish_speech_tpu.ops.attention import NEG_INF, gqa_attention
+from fish_speech_tpu.ops.attention import (NEG_INF, gqa_attention,
+                                           gqa_attention_kv8)
 from fish_speech_tpu.ops.norms import rms_norm
 from fish_speech_tpu.ops.quant import mm
 from fish_speech_tpu.ops.rope import apply_rope, precompute_rope
@@ -133,11 +134,41 @@ def param_count(params) -> int:
 # ---------------------------------------------------------------------------
 
 
-def init_kv_cache(cfg: DualARConfig, batch: int, max_seq: int, dtype=jnp.bfloat16):
-    """Static slow-transformer cache: (L, B, S, Hkv, Dh) per of k/v."""
+def init_kv_cache(cfg: DualARConfig, batch: int, max_seq: int, dtype=jnp.bfloat16,
+                  quant: bool = False):
+    """Static slow-transformer cache: (L, B, S, Hkv, Dh) per of k/v.
+
+    quant=True stores k/v int8 with per-(position, head) absmax scales
+    ("ks"/"vs", (L, B, S, Hkv) bf16) — halves decode KV reads, which rival
+    weight reads at large batch x context (16 x 2048: 4.8 GB vs 7.8 GB per
+    step). Prefill attends FRESH bf16 k/v and only the cache store is
+    quantized, so prefill logits are exact; only decode attention sees the
+    ~0.4% rounding. Opt-in (GenerationSession/ContinuousBatcher kv_quant);
+    accuracy pinned by tests/test_kv_quant.py."""
     cfg = cfg.resolve()
     shape = (cfg.n_layer, batch, max_seq, cfg.n_local_heads, cfg.head_dim)
+    if quant:
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "ks": jnp.zeros(shape[:-1], jnp.bfloat16),
+            "vs": jnp.zeros(shape[:-1], jnp.bfloat16),
+        }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _kv_quant(x):
+    """Per-(position, head) absmax int8: (..., D) -> (int8 (..., D), scales (...))."""
+    xf = x.astype(jnp.float32)
+    a = jnp.max(jnp.abs(xf), axis=-1)
+    s = a / 127.0
+    q = jnp.round(xf / jnp.maximum(s, 1e-8)[..., None])
+    return q.astype(jnp.int8), s.astype(jnp.bfloat16)
+
+
+def _kv_dequant(q, s, dtype):
+    """Inverse of _kv_quant; fuses into the consuming attention matmul."""
+    return (q.astype(jnp.float32) * s[..., None].astype(jnp.float32)).astype(dtype)
 
 
 def init_fast_kv_cache(cfg: DualARConfig, batch: int, dtype=jnp.bfloat16):
@@ -330,6 +361,9 @@ def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask,
     (rows, per-row-pos, active) for the continuous-batching path.
     """
     kc_all, vc_all = cache["k"], cache["v"]
+    quant = "ks" in cache  # int8 KV: scales ride along in the carry
+    ks_all = cache.get("ks")
+    vs_all = cache.get("vs")
     n_layer = kc_all.shape[0]
     b = x.shape[0]
     s = kc_all.shape[2]
@@ -337,7 +371,10 @@ def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask,
     eps = spec[3]
 
     def body(i, carry):
-        x, kc_all, vc_all = carry
+        if quant:
+            x, kc_all, vc_all, ks_all, vs_all = carry
+        else:
+            x, kc_all, vc_all = carry
         lp = _layer_slice(layers, i)
         h = rms_norm(x, lp["attn_norm"], eps)
         q, k, v = _qkv(lp, spec, h)
@@ -348,22 +385,42 @@ def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask,
             q = apply_rope(q, freqs)
             k = apply_rope(k, freqs)
 
+        if quant:
+            kw, ksc = _kv_quant(k)
+            vw, vsc = _kv_quant(v)
+        else:
+            kw, vw = k, v
+
         if write_rows is None:
             # lockstep: one shared position
             kc_all = lax.dynamic_update_slice(
-                kc_all, k[None].astype(kc_all.dtype), (i, 0, pos, 0, 0)
+                kc_all, kw[None].astype(kc_all.dtype), (i, 0, pos, 0, 0)
             )
             vc_all = lax.dynamic_update_slice(
-                vc_all, v[None].astype(vc_all.dtype), (i, 0, pos, 0, 0)
+                vc_all, vw[None].astype(vc_all.dtype), (i, 0, pos, 0, 0)
             )
+            if quant:
+                ks_all = lax.dynamic_update_slice(
+                    ks_all, ksc[None].astype(ks_all.dtype), (i, 0, pos, 0)
+                )
+                vs_all = lax.dynamic_update_slice(
+                    vs_all, vsc[None].astype(vs_all.dtype), (i, 0, pos, 0)
+                )
         else:
             rows, row_pos, act = write_rows
             old_k = kc_all[i, rows, row_pos]
             old_v = vc_all[i, rows, row_pos]
-            new_k = jnp.where(act[:, None, None], k[:, 0].astype(kc_all.dtype), old_k)
-            new_v = jnp.where(act[:, None, None], v[:, 0].astype(vc_all.dtype), old_v)
+            new_k = jnp.where(act[:, None, None], kw[:, 0].astype(kc_all.dtype), old_k)
+            new_v = jnp.where(act[:, None, None], vw[:, 0].astype(vc_all.dtype), old_v)
             kc_all = kc_all.at[i, rows, row_pos].set(new_k)
             vc_all = vc_all.at[i, rows, row_pos].set(new_v)
+            if quant:
+                new_ks = jnp.where(act[:, None], ksc[:, 0].astype(ks_all.dtype),
+                                   ks_all[i, rows, row_pos])
+                new_vs = jnp.where(act[:, None], vsc[:, 0].astype(vs_all.dtype),
+                                   vs_all[i, rows, row_pos])
+                ks_all = ks_all.at[i, rows, row_pos].set(new_ks)
+                vs_all = vs_all.at[i, rows, row_pos].set(new_vs)
 
         kcl = lax.dynamic_slice(
             kc_all, (i, 0, 0, 0, 0),
@@ -373,16 +430,34 @@ def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask,
             vc_all, (i, 0, 0, 0, 0),
             (1, b, read_len) + vc_all.shape[3:],
         )[0]
-        y = gqa_attention(q, kcl, vcl, kv_mask[..., :read_len])
+        if quant:
+            ksl = lax.dynamic_slice(
+                ks_all, (i, 0, 0, 0), (1, b, read_len, ks_all.shape[3])
+            )[0]
+            vsl = lax.dynamic_slice(
+                vs_all, (i, 0, 0, 0), (1, b, read_len, vs_all.shape[3])
+            )[0]
+            y = gqa_attention_kv8(q, kcl, ksl, vcl, vsl,
+                                  kv_mask[..., :read_len])
+        else:
+            y = gqa_attention(q, kcl, vcl, kv_mask[..., :read_len])
         x = x + _attn_out(lp, spec, y.reshape(b, x.shape[1], -1))
         h2 = rms_norm(x, lp["ffn_norm"], eps)
-        return (x + _ffn(lp, spec, h2), kc_all, vc_all)
+        x = x + _ffn(lp, spec, h2)
+        if quant:
+            return (x, kc_all, vc_all, ks_all, vs_all)
+        return (x, kc_all, vc_all)
 
     # Measured on v5e (single-stream int8 flagship): unrolling this loop
     # does NOT help — 2/4 on the slow stack and full unroll on the 4-layer
     # fast stack each measured ~1-3% SLOWER than the rolled form. Decode is
     # HBM-bound and XLA already overlaps the next layer's weight DMA with
     # compute inside the while loop; unrolling just grows the program.
+    if quant:
+        x, kc_all, vc_all, ks_all, vs_all = lax.fori_loop(
+            0, n_layer, body, (x, kc_all, vc_all, ks_all, vs_all)
+        )
+        return x, {"k": kc_all, "v": vc_all, "ks": ks_all, "vs": vs_all}
     x, kc_all, vc_all = lax.fori_loop(0, n_layer, body, (x, kc_all, vc_all))
     return x, {"k": kc_all, "v": vc_all}
 
@@ -575,14 +650,27 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end,
     # Fresh-KV attention: build per-layer k/v, attend, and also store to cache.
     spec = _slow_spec(cfg)
 
+    quant = "ks" in cache  # int8 KV: store quantized, attend FRESH bf16 k/v
+
     def body(carry, xs):
-        lp, kc, vc = xs
+        if quant:
+            lp, kc, vc, ks, vs = xs
+        else:
+            lp, kc, vc = xs
         h = rms_norm(carry, lp["attn_norm"], cfg.norm_eps)
         q, k, v = _qkv(lp, spec, h)
         q = apply_rope(q, freqs)
         k = apply_rope(k, freqs)
-        kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
-        vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
+        if quant:
+            kw, ksc = _kv_quant(k)
+            vw, vsc = _kv_quant(v)
+            kc = lax.dynamic_update_slice(kc, kw, (0, 0, 0, 0))
+            vc = lax.dynamic_update_slice(vc, vw, (0, 0, 0, 0))
+            ks = lax.dynamic_update_slice(ks, ksc.astype(ks.dtype), (0, 0, 0))
+            vs = lax.dynamic_update_slice(vs, vsc.astype(vs.dtype), (0, 0, 0))
+        else:
+            kc = lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, 0, 0))
+            vc = lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, 0, 0))
         if use_flash:
             from fish_speech_tpu.ops.pallas_attention import (
                 flash_prefill_attention,
@@ -593,10 +681,20 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end,
             y = gqa_attention(q, k, v, mask)
         carry = carry + _attn_out(lp, spec, y.reshape(b, t, -1))
         h2 = rms_norm(carry, lp["ffn_norm"], cfg.norm_eps)
-        return carry + _ffn(lp, spec, h2), (kc, vc)
+        out = carry + _ffn(lp, spec, h2)
+        return out, (kc, vc, ks, vs) if quant else (kc, vc)
 
-    x, (k_new, v_new) = lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
-    cache = {"k": k_new, "v": v_new}
+    if quant:
+        x, (k_new, v_new, ks_new, vs_new) = lax.scan(
+            body, x,
+            (params["layers"], cache["k"], cache["v"], cache["ks"], cache["vs"]),
+        )
+        cache = {"k": k_new, "v": v_new, "ks": ks_new, "vs": vs_new}
+    else:
+        x, (k_new, v_new) = lax.scan(
+            body, x, (params["layers"], cache["k"], cache["v"])
+        )
+        cache = {"k": k_new, "v": v_new}
 
     t_last = jnp.broadcast_to(jnp.asarray(t_end, jnp.int32) - 1, (b,))
     idx = t_last.reshape(b, 1, 1)

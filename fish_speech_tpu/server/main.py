@@ -84,6 +84,9 @@ def build_engine(args):
             # frames instead of a full chunk (time-to-first-audio)
             first_chunk_size=8,
         )
+    # the single-stream session holds a fused-w13 weight copy; drop our
+    # reference so the split originals free before warmup
+    del params
     engine = TTSInferenceEngine(
         session, tokenizer, dac_params, dac_cfg,
         references_dir=args.references_dir,

@@ -17,13 +17,18 @@ os.environ.setdefault("XLA_CPU_MULTI_THREAD_EIGEN", "false")
 # fast tier is ~15 min cold, ~4 min warm on one core); keyed on HLO+flags,
 # so edits to model code invalidate exactly the affected entries.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.05")
 
 import jax
 
 # The env var alone can be overridden by platform plugins registered from
-# sitecustomize; the config update always wins.
+# sitecustomize; the config update always wins. (Same for the cache vars
+# above: sitecustomize imports jax before conftest runs, so they must be
+# re-applied through the config.)
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 # XLA CPU's default fp32 GEMM is reduced precision (bf16-ish); tests compare
 # float32 numerics, so force full precision.
 jax.config.update("jax_default_matmul_precision", "highest")
