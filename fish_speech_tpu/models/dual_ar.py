@@ -347,7 +347,8 @@ def _layer_slice(layers, i):
 
 
 def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask,
-                      kv_len=None, write_rows=None, active=None):
+                      kv_len=None, write_rows=None, active=None,
+                      unroll=1):
     """Decode-mode layer loop with the GLOBAL cache carried in place.
 
     A scan that emits per-layer updated caches as stacked outputs forces XLA
@@ -453,12 +454,16 @@ def _run_stack_decode(layers, spec, x, freqs, cache, pos, kv_mask,
     # fast stack each measured ~1-3% SLOWER than the rolled form. Decode is
     # HBM-bound and XLA already overlaps the next layer's weight DMA with
     # compute inside the while loop; unrolling just grows the program.
+    # Re-measured post-w13-fusion (unroll=12 fast layers + unroll=3 on the
+    # codebook scan): 66.4 f/s vs 71.6 rolled — still ~7% SLOWER.
     if quant:
         x, kc_all, vc_all, ks_all, vs_all = lax.fori_loop(
-            0, n_layer, body, (x, kc_all, vc_all, ks_all, vs_all)
+            0, n_layer, body, (x, kc_all, vc_all, ks_all, vs_all),
+            unroll=unroll,
         )
         return x, {"k": kc_all, "v": vc_all, "ks": ks_all, "vs": vs_all}
-    x, kc_all, vc_all = lax.fori_loop(0, n_layer, body, (x, kc_all, vc_all))
+    x, kc_all, vc_all = lax.fori_loop(0, n_layer, body, (x, kc_all, vc_all),
+                                      unroll=unroll)
     return x, {"k": kc_all, "v": vc_all}
 
 
