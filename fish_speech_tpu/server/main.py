@@ -73,7 +73,7 @@ def build_engine(args):
         batcher = ContinuousBatcher(
             params, cfg, SamplingConfig(), pool_size=args.pool_size,
             dtype=dtype, decode_chunk_size=args.decode_chunk_size,
-            first_chunk_size=8,
+            first_chunk_size=8, kv_quant=args.kv_int8,
         )
         session = BatcherSession(batcher)
     else:
@@ -82,7 +82,7 @@ def build_engine(args):
             decode_chunk_size=args.decode_chunk_size,
             # small first chunk: first audio reaches the codec after ~8
             # frames instead of a full chunk (time-to-first-audio)
-            first_chunk_size=8,
+            first_chunk_size=8, kv_quant=args.kv_int8,
         )
     # the single-stream session holds a fused-w13 weight copy; drop our
     # reference so the split originals free before warmup
@@ -148,6 +148,9 @@ def parse_args(argv=None):
     parser.add_argument("--pool-size", type=int, default=1,
                         help=">1 enables continuous batching: a shared "
                              "decode pool serving this many streams")
+    parser.add_argument("--kv-int8", action="store_true",
+                        help="int8 KV cache (halves decode KV reads; "
+                             "+9%% at long-context serving)")
     parser.add_argument("--int8", action="store_true",
                         help="int8 weight-only quantization at load")
     parser.add_argument("--tiny", action="store_true",
