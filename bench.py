@@ -72,6 +72,14 @@ def _parse():
                              "arrive at once on a --batch-slot continuous-"
                              "batching pool; reports first-chunk p50/p90")
     parser.add_argument("--clients", type=int, default=32)
+    parser.add_argument("--voice-clone", action="store_true",
+                        help="ttfa mode: attach the 30 s reference WITHOUT "
+                             "prefix caching (the uncached comparison row)")
+    parser.add_argument("--prefix-cache", action="store_true",
+                        help="ttfa mode: voice-clone request with a 30 s "
+                             "reference + session prefix caching — measures "
+                             "repeat-speaker TTFA (prefix KV restored, only "
+                             "the user text prefills)")
     parser.add_argument("--kv-int8", action="store_true",
                         help="int8 KV cache (per-position-per-head scales): "
                              "halves decode KV reads; at 16x2048 serving the "
@@ -352,6 +360,7 @@ def run_ttfa(args):
     session = GenerationSession(
         params, cfg, SamplingConfig(), dtype=dtype,
         decode_chunk_size=args.chunk, first_chunk_size=args.first_chunk,
+        prefix_cache_size=4 if args.prefix_cache else 0,
     )
     import tempfile
 
@@ -360,10 +369,29 @@ def run_ttfa(args):
         references_dir=tempfile.mkdtemp(),
     )
 
+    refs = []
+    if args.prefix_cache or args.voice_clone:
+        # 30 s synthetic reference -> ~645 prompt frames: the repeat-speaker
+        # scenario (same reference every request, varying text)
+        import pathlib
+        import types
+
+        from fish_speech_tpu.audio.io import write_wav
+
+        sr = dac_cfg.sample_rate
+        tt = np.arange(int(sr * 30.0)) / sr  # 30 s ref = ~645 prompt frames
+        wave = (0.3 * np.sin(2 * np.pi * 220.0 * tt)).astype(np.float32)
+        p = pathlib.Path(tempfile.mkdtemp()) / "ref.wav"
+        write_wav(p, wave, sr)
+        refs = [types.SimpleNamespace(
+            audio=p.read_bytes(), text="This is the reference speaker voice."
+        )]
+
     text = "Hello there! This is a latency test of the streaming engine."
     req = lambda seed: TTSRequest(  # noqa: E731
         text=text, streaming=True, max_new_tokens=args.steps,
         temperature=0.8, top_p=0.8, seed=seed,
+        references=refs, use_memory_cache="on" if refs else "off",
     )
 
     def one_run(seed):
@@ -379,13 +407,17 @@ def run_ttfa(args):
 
     t0 = time.perf_counter()
     one_run(0)  # warmup/compile: prefill bucket, chunks, codec buckets
+    if args.prefix_cache:
+        one_run(1)  # compile the HIT path (row restore + suffix prefill)
     print(f"# warmup+compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     lat = sorted(one_run(1000 + i) for i in range(args.ttfa_runs))
     p50 = lat[len(lat) // 2]
     p90 = lat[min(len(lat) - 1, int(len(lat) * 0.9))]
     print(json.dumps({
-        "metric": "ttfa_ms_p50",
+        "metric": ("ttfa_cached_speaker_ms_p50" if args.prefix_cache
+                   else "ttfa_voice_clone_ms_p50" if args.voice_clone
+                   else "ttfa_ms_p50"),
         "value": round(p50 * 1e3, 1),
         "unit": "ms",
         "vs_baseline": round(0.200 / p50, 3),  # target: p50 < 200 ms
@@ -397,6 +429,8 @@ def run_ttfa(args):
             "platform": jax.devices()[0].platform,
             "quant": args.quant,
             "chunk": args.chunk,
+            "prefix_hits": session.prefix_hits,
+            "prefix_misses": session.prefix_misses,
         },
     }))
 

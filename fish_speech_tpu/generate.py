@@ -135,6 +135,41 @@ def prefill_step(params, cfg: DualARConfig, scfg: SamplingConfig, inp, cache,
     return column, cache
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 8), donate_argnums=(4,))
+def prefill_suffix_step(params, cfg: DualARConfig, scfg: SamplingConfig,
+                        inp_s, cache, rows, start_pos, t_end_s, kv_len,
+                        key, temperature, top_p, top_k):
+    """Restore stored prefix KV rows into the cache, prefill the prompt
+    suffix over them, and sample the first column — ONE dispatch (each
+    separate device call costs a full host round-trip through a remote-
+    device tunnel). Prefix-caching hit path; see `dual_ar.prefill_suffix`."""
+    cache = _restore_prefix_rows(cache, rows)
+    logits_full, hidden, cache = dual_ar.prefill_suffix(
+        params, cfg, inp_s, cache, start_pos, t_end_s, kv_len
+    )
+    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
+    logits = jnp.concatenate(
+        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
+        axis=1,
+    )
+    column = _sample_column(
+        params, cfg, scfg, logits, hidden, None, key, temperature, top_p, top_k
+    )
+    return column, cache
+
+
+def _restore_prefix_rows(cache, rows):
+    """Write stored prefix rows (any cache layout) back into a live cache.
+    Called inside `prefill_suffix_step` (fused into its single dispatch)."""
+    out = {}
+    for name in cache:
+        zeros = (0,) * cache[name].ndim
+        out[name] = jax.lax.dynamic_update_slice(
+            cache[name], rows[name].astype(cache[name].dtype), zeros
+        )
+    return out
+
+
 def _decode_one(params, cfg, scfg, token, cache, pos, window, key,
                 temperature, top_p, top_k, kv_valid=None, kv_len=None):
     hidden, slow_out, cache = dual_ar.decode_slow_step(
@@ -443,7 +478,8 @@ class GenerationSession:
                  max_batch: int = 1, dtype=jnp.bfloat16,
                  decode_chunk_size: int = 32, kv_buckets=(512, 1024, 2048),
                  first_chunk_size: int = 0, pipeline_lookahead: int = 1,
-                 fuse_ffn: Optional[bool] = None, kv_quant: bool = False):
+                 fuse_ffn: Optional[bool] = None, kv_quant: bool = False,
+                 prefix_cache_size: int = 0):
         # Inference-only augmentations (checkpoint save/training never see
         # these): pre-slice the restricted LM head so the decode scan reads
         # it directly instead of re-slicing the full head every frame, and
@@ -491,12 +527,72 @@ class GenerationSession:
         self.cache = dual_ar.init_kv_cache(
             self.cfg, max_batch, self.cache_len, dtype, quant=kv_quant
         )
+        # Voice-clone prefix caching (radix-cache-style, one level): keep
+        # the KV rows of the last N distinct prompts; a new prompt sharing
+        # a long prefix (same speaker reference / system framing) restores
+        # those rows and prefills only its suffix. Causality makes any
+        # common prefix reusable: k/v at position j depend only on tokens
+        # 0..j. 0 disables (default — keeps benchmarks comparable);
+        # batch-1 only. ~(bucket(t) * 36*8*128*2*2) bytes/entry on the
+        # flagship (~150 MB at bucket 1024).
+        self.prefix_cache_size = prefix_cache_size if max_batch == 1 else 0
+        self._prefix_store = {}  # key -> {"cols", "rows", "bucket"}
+        self._prefix_order = []  # LRU
+        self.prefix_hits = 0
+        self.prefix_misses = 0
 
     def _kv_bucket(self, pos_end: int) -> int:
         for b in self.kv_buckets:
             if pos_end <= b:
                 return b
         return self.cache_len
+
+    # -- voice-clone prefix cache (see __init__) ------------------------
+
+    def _prefix_lookup(self, prompt: np.ndarray):
+        """Longest usable common prefix with any stored prompt.
+
+        Returns (m, rows) or None. The EXACT match length m is used (a
+        traced scalar downstream, so no per-m compiles); `rows` is the
+        entry's FULL stored bucket — positions >= m hold the other
+        prompt's k/v, which is safe: the suffix prefill overwrites
+        [m, t) and everything beyond a decode step's position is masked
+        until that step overwrites it (the same invariant that makes the
+        full-prefill bucket tail safe). m < t always, so at least one
+        suffix column remains to prefill (it yields the first sample)."""
+        t = prompt.shape[1]
+        best_m, best_key = 0, None
+        for key_, e in self._prefix_store.items():
+            cols = e["cols"]
+            n = min(cols.shape[1], t - 1)
+            if n < 64:
+                continue
+            eq = (prompt[:, :n] == cols[:, :n]).all(axis=0)
+            m = int(np.argmin(eq)) if not eq.all() else n
+            if m > best_m:
+                best_m, best_key = m, key_
+        if best_m < 64 or best_key is None:
+            return None
+        self._prefix_order.remove(best_key)
+        self._prefix_order.append(best_key)  # LRU refresh
+        return best_m, self._prefix_store[best_key]["rows"]
+
+    def _prefix_maybe_store(self, prompt: np.ndarray, bucket: int):
+        if not self.prefix_cache_size or prompt.shape[1] < 128:
+            return
+        key_ = hash(prompt.tobytes())
+        if key_ in self._prefix_store:
+            return
+        rows = {
+            name: arr[:, :, :bucket] for name, arr in self.cache.items()
+        }
+        self._prefix_store[key_] = {
+            "cols": prompt.copy(), "rows": rows, "bucket": bucket,
+        }
+        self._prefix_order.append(key_)
+        while len(self._prefix_order) > self.prefix_cache_size:
+            old = self._prefix_order.pop(0)
+            del self._prefix_store[old]
 
     def generate(
         self,
@@ -587,10 +683,33 @@ class GenerationSession:
             feats, mask = jnp.asarray(feats_np), jnp.asarray(mask_np)
 
         key, pk = jax.random.split(key)
-        column, self.cache = prefill_step(
-            self.params, cfg, scfg, jnp.asarray(inp), self.cache, offsets,
-            jnp.int32(t), pk, temperature, top_p, top_k, feats, mask,
-        )
+        pre = None
+        if self.prefix_cache_size and feats is None:
+            pre = self._prefix_lookup(prompt)
+        if pre is not None:
+            m, rows = pre
+            ts = t - m
+            sbucket = pick_bucket(ts, self.cache_len)
+            if m + sbucket > self.cache_len:
+                pre = None  # suffix pad tail would overrun the cache
+        if pre is not None:
+            self.prefix_hits += 1
+            inp_s = np.zeros((1, cfg.num_codebooks + 1, sbucket), np.int32)
+            inp_s[0, :, :ts] = prompt[:, m:]
+            kv_len = self._kv_bucket(m + sbucket)
+            column, self.cache = prefill_suffix_step(
+                self.params, cfg, scfg, jnp.asarray(inp_s), self.cache,
+                rows, jnp.int32(m), jnp.int32(ts), kv_len, pk,
+                temperature, top_p, top_k,
+            )
+        else:
+            self.prefix_misses += 1
+            column, self.cache = prefill_step(
+                self.params, cfg, scfg, jnp.asarray(inp), self.cache, offsets,
+                jnp.int32(t), pk, temperature, top_p, top_k, feats, mask,
+            )
+            if self.prefix_cache_size and feats is None:
+                self._prefix_maybe_store(prompt, bucket)
         if device_partials:
             yield from self._stream_device(
                 column, t, budget, key, temperature, top_p, top_k

@@ -710,6 +710,57 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end,
     return logits, hidden, cache
 
 
+def prefill_suffix(params, cfg: DualARConfig, inp, cache, start_pos, t_end,
+                   kv_len):
+    """Prefill only a prompt SUFFIX against an already-filled cache prefix.
+
+    The voice-clone prefix-caching path (reference only gets this via
+    SGLang's radix cache): positions [0, start_pos) of the cache hold the
+    KV of a previously-prefilled shared prompt prefix — valid for ANY
+    request sharing those prompt columns, because causal attention makes
+    k/v at position j depend only on tokens 0..j. This runs the remaining
+    columns as one multi-token decode-style pass: fresh q/k/v for the
+    suffix, writes at [start_pos, start_pos+Ts), attention over the cache
+    under the absolute causal mask j <= start_pos + i.
+
+    Args:
+      inp: (B, C+1, Ts) suffix columns, real length t_end, bucket-padded.
+        Pad-tail writes land in [start_pos+t_end, start_pos+Ts) — masked
+        exactly like the full-prefill bucket tail (decode overwrites them
+        before any query can attend them).
+      start_pos: scalar int32 absolute position of the first suffix column.
+      t_end: scalar int32 — real suffix length; logits taken at
+        start_pos + t_end - 1.
+      kv_len: static int — attention reads cache[:kv_len]
+        (>= start_pos + Ts).
+
+    Returns (logits_last (B, V fp32), hidden_last (B, D), cache).
+    """
+    cfg = cfg.resolve()
+    b, _, ts = inp.shape
+    x = embed_tokens(params, cfg, inp)
+    table = precompute_rope(cfg.max_seq_len + ts, cfg.head_dim, cfg.rope_base)
+    freqs = lax.dynamic_slice(table, (start_pos, 0, 0),
+                              (ts,) + table.shape[1:])
+
+    i = jnp.arange(ts)
+    j = jnp.arange(kv_len)
+    # absolute causal mask: suffix query i sits at start_pos + i
+    kv_mask = (j[None, :] <= (start_pos + i)[:, None])[None]  # (1, Ts, S)
+
+    x, cache = _run_stack_decode(
+        params["layers"], _slow_spec(cfg), x, freqs, cache, start_pos,
+        kv_mask, kv_len=kv_len,
+    )
+    t_last = jnp.broadcast_to(jnp.asarray(t_end, jnp.int32) - 1, (b,))
+    idx = t_last.reshape(b, 1, 1)
+    x_last = jnp.take_along_axis(x, idx, axis=1)[:, 0]  # (B, D)
+    slow_out = rms_norm(x_last, params["norm"], cfg.norm_eps)
+    logits = _lm_head(params, cfg, slow_out[:, None])[:, 0]
+    hidden = slow_out if cfg.norm_fastlayer_input else x_last
+    return logits, hidden, cache
+
+
 def decode_slow_step(params, cfg: DualARConfig, token, cache, pos,
                      kv_valid=None, kv_len=None):
     """One slow-transformer step.

@@ -83,6 +83,7 @@ def build_engine(args):
             # small first chunk: first audio reaches the codec after ~8
             # frames instead of a full chunk (time-to-first-audio)
             first_chunk_size=8, kv_quant=args.kv_int8,
+            prefix_cache_size=args.prefix_cache,
         )
     # the single-stream session holds a fused-w13 weight copy; drop our
     # reference so the split originals free before warmup
@@ -148,6 +149,11 @@ def parse_args(argv=None):
     parser.add_argument("--pool-size", type=int, default=1,
                         help=">1 enables continuous batching: a shared "
                              "decode pool serving this many streams")
+    parser.add_argument("--prefix-cache", type=int, default=4,
+                        help="voice-clone prefix cache entries (single-"
+                             "stream session only; 0 disables): repeat-"
+                             "speaker requests restore the reference "
+                             "prompt's KV and prefill only the user text")
     parser.add_argument("--kv-int8", action="store_true",
                         help="int8 KV cache (halves decode KV reads; "
                              "+9%% at long-context serving)")
