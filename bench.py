@@ -361,7 +361,11 @@ def run_ttfa(args):
         params, cfg, SamplingConfig(), dtype=dtype,
         decode_chunk_size=args.chunk, first_chunk_size=args.first_chunk,
         prefix_cache_size=4 if args.prefix_cache else 0,
+        kv_quant=args.kv_int8,
     )
+    # the batch-1 session holds a fused-w13 weight copy; drop our
+    # reference so the split originals free before warmup
+    del params
     import tempfile
 
     engine = TTSInferenceEngine(
@@ -428,6 +432,7 @@ def run_ttfa(args):
             "runs": len(lat),
             "platform": jax.devices()[0].platform,
             "quant": args.quant,
+            "kv": "int8" if args.kv_int8 else "bf16",
             "chunk": args.chunk,
             "prefix_hits": session.prefix_hits,
             "prefix_misses": session.prefix_misses,

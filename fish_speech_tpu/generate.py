@@ -110,6 +110,16 @@ def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
     return column
 
 
+def _restricted_logits(cfg: DualARConfig, logits_full):
+    """Slice full-vocab logits down to the constrained-decoding head layout
+    (semantic range + im_end; see `dual_ar.semantic_head_logits`)."""
+    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
+    return jnp.concatenate(
+        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
+        axis=1,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
 def prefill_step(params, cfg: DualARConfig, scfg: SamplingConfig, inp, cache,
                  offsets, t_end, key, temperature, top_p, top_k,
@@ -119,16 +129,9 @@ def prefill_step(params, cfg: DualARConfig, scfg: SamplingConfig, inp, cache,
         params, cfg, inp, cache, offsets, t_end,
         audio_features=audio_features, audio_mask=audio_mask,
     )
-    # Use the restricted head for sampling (recompute from slow_out).
-    # `prefill` already returns hidden == slow_out when norm_fastlayer_input;
-    # recover slow_out for the head in either case.
-    # We recompute the restricted logits directly from the full logits slice
-    # to keep one code path:
-    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
-    logits = jnp.concatenate(
-        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
-        axis=1,
-    )
+    # Use the restricted head for sampling, recomputed from the full-logit
+    # slice to keep one code path with `semantic_head_logits`.
+    logits = _restricted_logits(cfg, logits_full)
     column = _sample_column(
         params, cfg, scfg, logits, hidden, None, key, temperature, top_p, top_k
     )
@@ -147,11 +150,7 @@ def prefill_suffix_step(params, cfg: DualARConfig, scfg: SamplingConfig,
     logits_full, hidden, cache = dual_ar.prefill_suffix(
         params, cfg, inp_s, cache, start_pos, t_end_s, kv_len
     )
-    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
-    logits = jnp.concatenate(
-        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
-        axis=1,
-    )
+    logits = _restricted_logits(cfg, logits_full)
     column = _sample_column(
         params, cfg, scfg, logits, hidden, None, key, temperature, top_p, top_k
     )

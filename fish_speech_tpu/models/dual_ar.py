@@ -612,6 +612,20 @@ def fast_forward_train(params, cfg: DualARConfig, hidden, codebooks, remat=False
 # ---------------------------------------------------------------------------
 
 
+def _prefill_tail(params, cfg: DualARConfig, x, t_end, cache):
+    """Shared prefill epilogue: last-real-position extraction, final norm,
+    LM head. Used by `prefill` and `prefill_suffix` so the two paths can
+    never diverge."""
+    b = x.shape[0]
+    t_last = jnp.broadcast_to(jnp.asarray(t_end, jnp.int32) - 1, (b,))
+    idx = t_last.reshape(b, 1, 1)
+    x_last = jnp.take_along_axis(x, idx, axis=1)[:, 0]  # (B, D)
+    slow_out = rms_norm(x_last, params["norm"], cfg.norm_eps)
+    logits = _lm_head(params, cfg, slow_out[:, None])[:, 0]
+    hidden = slow_out if cfg.norm_fastlayer_input else x_last
+    return logits, hidden, cache
+
+
 def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end,
             audio_features=None, audio_mask=None):
     """Run the prompt through the slow transformer, filling the KV cache.
@@ -701,13 +715,7 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end,
         )
         cache = {"k": k_new, "v": v_new}
 
-    t_last = jnp.broadcast_to(jnp.asarray(t_end, jnp.int32) - 1, (b,))
-    idx = t_last.reshape(b, 1, 1)
-    x_last = jnp.take_along_axis(x, idx, axis=1)[:, 0]  # (B, D)
-    slow_out = rms_norm(x_last, params["norm"], cfg.norm_eps)
-    logits = _lm_head(params, cfg, slow_out[:, None])[:, 0]
-    hidden = slow_out if cfg.norm_fastlayer_input else x_last
-    return logits, hidden, cache
+    return _prefill_tail(params, cfg, x, t_end, cache)
 
 
 def prefill_suffix(params, cfg: DualARConfig, inp, cache, start_pos, t_end,
@@ -752,13 +760,7 @@ def prefill_suffix(params, cfg: DualARConfig, inp, cache, start_pos, t_end,
         params["layers"], _slow_spec(cfg), x, freqs, cache, start_pos,
         kv_mask, kv_len=kv_len,
     )
-    t_last = jnp.broadcast_to(jnp.asarray(t_end, jnp.int32) - 1, (b,))
-    idx = t_last.reshape(b, 1, 1)
-    x_last = jnp.take_along_axis(x, idx, axis=1)[:, 0]  # (B, D)
-    slow_out = rms_norm(x_last, params["norm"], cfg.norm_eps)
-    logits = _lm_head(params, cfg, slow_out[:, None])[:, 0]
-    hidden = slow_out if cfg.norm_fastlayer_input else x_last
-    return logits, hidden, cache
+    return _prefill_tail(params, cfg, x, t_end, cache)
 
 
 def decode_slow_step(params, cfg: DualARConfig, token, cache, pos,

@@ -176,18 +176,37 @@ int32_t fsav_decode(const uint8_t *data, int64_t size, float *out,
       r = avcodec_receive_frame(cctx, fr);
       if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
       if (r < 0) { rc = -4; goto done; }
-      /* Some decoders report layout only on the first frame. */
-      if (fr->ch_layout.nb_channels == ch) {
-        r = sink_frame(&sink, swr, fr, ch);
-        if (r < 0) { rc = r; goto done; }
+      /* Some decoders only learn the real layout at the first frame: if
+         nothing has been written yet, adopt the frame's layout and
+         reconfigure the resampler. A LATER change (mid-stream layout
+         switch, broken encoder) is an ERROR, not a silent skip — skipping
+         every frame would return rc=0 with zero samples and the caller
+         would treat an empty waveform as valid. */
+      if (fr->ch_layout.nb_channels != ch) {
+        if (sink.written != 0 || fr->ch_layout.nb_channels <= 0) {
+          rc = -6; goto done;
+        }
+        ch = fr->ch_layout.nb_channels;
+        *channels = ch;
+        swr_free(&swr);
+        AVChannelLayout lay2;
+        av_channel_layout_default(&lay2, ch);
+        if (swr_alloc_set_opts2(&swr, &lay2, AV_SAMPLE_FMT_FLT,
+                                cctx->sample_rate, &fr->ch_layout,
+                                (enum AVSampleFormat)fr->format,
+                                fr->sample_rate, 0, NULL) < 0 ||
+            swr_init(swr) < 0) { rc = -5; goto done; }
       }
+      r = sink_frame(&sink, swr, fr, ch);
+      if (r < 0) { rc = r; goto done; }
       av_frame_unref(fr);
     }
   }
   /* Flush the resampler's internal buffer. */
   if (sink_frame(&sink, swr, NULL, ch) < 0) { rc = -5; goto done; }
 
-  rc = sink.overflow ? -3 : 0;
+  /* A stream that demuxed but produced no audio at all is an error. */
+  rc = sink.overflow ? -3 : (sink.written == 0 ? -6 : 0);
 
 done:
   *nwritten = sink.written;

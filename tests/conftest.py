@@ -28,7 +28,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs",
+    float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+)
 # XLA CPU's default fp32 GEMM is reduced precision (bf16-ish); tests compare
 # float32 numerics, so force full precision.
 jax.config.update("jax_default_matmul_precision", "highest")
