@@ -480,6 +480,8 @@ def run_burst(args):
     batcher = ContinuousBatcher(
         params, cfg, SamplingConfig(), pool_size=pool, dtype=dtype,
         decode_chunk_size=args.chunk, first_chunk_size=args.first_chunk or 8,
+        kv_quant=args.kv_int8,
+        prefix_cache_size=4 if args.prefix_cache else 0,
     )
     rng = np.random.default_rng(0)
     prompt = np.zeros((cfg.num_codebooks + 1, args.prompt_len), np.int32)
@@ -529,7 +531,8 @@ def run_burst(args):
     p50 = lat[len(lat) // 2]
     p90 = lat[min(len(lat) - 1, int(len(lat) * 0.9))]
     print(json.dumps({
-        "metric": "burst_first_chunk_p50_s",
+        "metric": ("burst_same_speaker_first_chunk_p50_s"
+                   if args.prefix_cache else "burst_first_chunk_p50_s"),
         "value": round(p50, 3),
         "unit": "s",
         "vs_baseline": round(2.7 / p50, 2),  # round-1 measured p50
@@ -542,6 +545,9 @@ def run_burst(args):
             "x_realtime": round(total_frames / wall / FRAMES_PER_SECOND, 1),
             "platform": jax.devices()[0].platform,
             "quant": args.quant,
+            "kv": "int8" if args.kv_int8 else "bf16",
+            "prefix_hits": batcher.prefix.hits,
+            "prefix_misses": batcher.prefix.misses,
         },
     }))
 

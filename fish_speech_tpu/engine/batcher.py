@@ -56,9 +56,11 @@ import numpy as np
 from fish_speech_tpu.config import DualARConfig, SamplingConfig
 from fish_speech_tpu.ops.sampling import check_top_k
 from fish_speech_tpu.generate import (
+    PrefixStore,
     decode_chunk_multi,
     pick_bucket,
     prefill_group_parked,
+    prefill_group_parked_suffix,
     scatter_parked_rows,
 )
 from fish_speech_tpu.models import dual_ar
@@ -184,7 +186,8 @@ class ContinuousBatcher:
     def __init__(self, params, cfg: DualARConfig, scfg: SamplingConfig = None,
                  pool_size: int = 4, dtype=jnp.bfloat16,
                  decode_chunk_size: int = 16, first_chunk_size: int = 0,
-                 idle_sleep: float = 0.002, kv_quant: bool = False):
+                 idle_sleep: float = 0.002, kv_quant: bool = False,
+                 prefix_cache_size: int = 0):
         from fish_speech_tpu.models.dual_ar import precompute_semantic_head
 
         # pre-sliced restricted head (see GenerationSession). No w13 fusion
@@ -204,6 +207,11 @@ class ContinuousBatcher:
         ) + (self.cache_len,)
 
         b = pool_size
+        # voice-clone prefix caching across admissions: when every request
+        # in an admission group shares a stored >=64-column prompt prefix
+        # (a same-speaker burst), the group prefill restores that prefix's
+        # KV into all rows and runs only the per-request suffixes.
+        self.prefix = PrefixStore(prefix_cache_size)
         self.kv_quant = kv_quant
         self.pool = dual_ar.init_kv_cache(self.cfg, b, self.cache_len, dtype,
                                           quant=kv_quant)
@@ -220,6 +228,7 @@ class ContinuousBatcher:
         # burst overflow: prefilled admission groups waiting for slots
         # (bounded device memory: at most park_max_rows parked KV rows)
         self.parked: List[_Parked] = []
+        self._worker_error: Optional[BaseException] = None
         self.park_max_rows = pool_size
         self._overflow: List[BatchRequest] = []  # FIFO, drained from pending
         self._compiled_buckets = set()
@@ -387,16 +396,46 @@ class ContinuousBatcher:
             inp[j, :, :t] = req.prompt
             t_ends[j] = t
         pks = _seed_keys(jnp.asarray([r.seed for r in reqs], jnp.uint32))
+        pre = self._group_prefix(reqs, bucket)
+        if pre is not None:
+            # the scratch must hold prefix + bucketed suffix, which can
+            # exceed the prompt bucket (e.g. near-identical prompts:
+            # m = t-1 but the suffix still pads to 64)
+            bucket = pick_bucket(pre[0] + pre[2], self.cache_len)
         # fresh cache (NOT shared scratch): the parked entry owns it
         cache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype,
                                       quant=self.kv_quant)
-        column, next_keys, cache = prefill_group_parked(
-            self.params, cfg, scfg, jnp.asarray(inp), cache,
-            jnp.asarray(t_ends), pks,
-            jnp.asarray([r.temperature for r in reqs], jnp.float32),
-            jnp.asarray([r.top_p for r in reqs], jnp.float32),
-            jnp.asarray([r.top_k for r in reqs], jnp.int32),
-        )
+        if pre is not None:
+            self.prefix.hits += 1
+            m, rows, sbucket = pre
+            inp_s = np.zeros((k, cfg.num_codebooks + 1, sbucket), np.int32)
+            ts = np.zeros((k,), np.int32)
+            for j, req in enumerate(reqs):
+                ts[j] = req.prompt.shape[1] - m
+                inp_s[j, :, : ts[j]] = req.prompt[:, m:]
+            column, next_keys, cache = prefill_group_parked_suffix(
+                self.params, cfg, scfg, jnp.asarray(inp_s), cache, rows,
+                jnp.int32(m), jnp.asarray(ts), bucket, pks,
+                jnp.asarray([r.temperature for r in reqs], jnp.float32),
+                jnp.asarray([r.top_p for r in reqs], jnp.float32),
+                jnp.asarray([r.top_k for r in reqs], jnp.int32),
+            )
+        else:
+            if self.prefix.size:
+                self.prefix.misses += 1
+            column, next_keys, cache = prefill_group_parked(
+                self.params, cfg, scfg, jnp.asarray(inp), cache,
+                jnp.asarray(t_ends), pks,
+                jnp.asarray([r.temperature for r in reqs], jnp.float32),
+                jnp.asarray([r.top_p for r in reqs], jnp.float32),
+                jnp.asarray([r.top_k for r in reqs], jnp.int32),
+            )
+            if self.prefix.size:
+                self.prefix.store(
+                    reqs[0].prompt,
+                    {name: arr[:, :1, :bucket] for name, arr in cache.items()},
+                    bucket,
+                )
         cols = np.asarray(column)
         nkeys = np.asarray(next_keys)
         alive = []
@@ -414,6 +453,32 @@ class ContinuousBatcher:
             return None
         return _Parked(cache=cache, reqs=list(reqs), t_ends=t_ends,
                        cols=cols, nkeys=nkeys, alive=alive)
+
+    def _group_prefix(self, reqs, bucket: int):
+        """Shared-prefix lookup for an admission group.
+
+        Returns (m, rows, sbucket) only when EVERY request shares the
+        stored prefix for >= 64 columns (m = the group minimum) and the
+        bucketed suffixes still fit the scratch bucket; else None (full
+        group prefill). Single-speaker bursts are the hit case."""
+        if not self.prefix.size:
+            return None
+        hit = self.prefix.lookup(reqs[0].prompt)
+        if hit is None:
+            return None
+        m, rows = hit
+        p0 = reqs[0].prompt
+        for req in reqs[1:]:
+            n = min(req.prompt.shape[1] - 1, p0.shape[1], m)
+            eq = (req.prompt[:, :n] == p0[:, :n]).all(axis=0)
+            m = int(np.argmin(eq)) if not eq.all() else n
+            if m < 64:
+                return None
+        max_ts = max(r.prompt.shape[1] for r in reqs) - m
+        sbucket = pick_bucket(max_ts, self.cache_len)
+        if m + sbucket > self.cache_len or m + sbucket > self.cfg.max_seq_len:
+            return None  # suffix pad tail would overrun the cache
+        return m, rows, sbucket
 
     def _ensure_bucket_compiled(self, bucket: int):
         """Deterministically compile every admission signature this bucket
@@ -499,6 +564,30 @@ class ContinuousBatcher:
         )
 
     def _loop(self):
+        """Worker entry: a crash (device OOM, compile failure) must FAIL
+        every waiting client instead of dying silently — a dead worker
+        with clients blocked on their queues hangs the whole server."""
+        try:
+            self._loop_inner()
+        except BaseException as e:  # noqa: BLE001
+            _dbg(f"worker crashed: {type(e).__name__}: {e}")
+            self._worker_error = e
+            for s in self.slots:
+                if s.active and s.request is not None:
+                    s.request.out.put(None)
+                    s.active = False
+            for pk in self.parked:
+                for j, req in enumerate(pk.reqs):
+                    if pk.alive[j]:
+                        req.out.put(None)
+            self.parked.clear()
+            self._drain_pending()
+            for req in self._overflow:
+                req.out.put(None)
+            self._overflow.clear()
+            raise
+
+    def _loop_inner(self):
         cfg = self.cfg
         while not self._stop.is_set():
             admitted = self._admit()

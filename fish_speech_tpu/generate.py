@@ -56,6 +56,68 @@ def pick_bucket(t: int, max_seq: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+class PrefixStore:
+    """Host-side LRU of recent prompts' KV rows (voice-clone prefix cache).
+
+    Shared by `GenerationSession` (batch-1) and `ContinuousBatcher` (group
+    admission). Entries hold the prompt columns (for exact host-side
+    prefix comparison) and the DEVICE cache rows sliced at store time
+    (`(L, 1, bucket, ...)` per cache leaf).
+    """
+
+    def __init__(self, size: int):
+        self.size = size
+        self._store = {}  # key -> {"cols", "rows", "bucket"}
+        self._order = []  # LRU
+        self.hits = 0
+        self.misses = 0
+
+    def __len__(self):
+        return len(self._store)
+
+    def lookup(self, prompt: np.ndarray):
+        """Longest usable common prefix with any stored prompt.
+
+        Returns (m, rows) or None. The EXACT match length m is used (a
+        traced scalar downstream, so no per-m compiles); `rows` is the
+        entry's FULL stored bucket — positions >= m hold the other
+        prompt's k/v, which is safe: the suffix prefill overwrites
+        [m, t) and everything beyond a decode step's position is masked
+        until that step overwrites it (the same invariant that makes the
+        full-prefill bucket tail safe). m < t always, so at least one
+        suffix column remains to prefill (it yields the first sample)."""
+        t = prompt.shape[1]
+        best_m, best_key = 0, None
+        for key_, e in self._store.items():
+            cols = e["cols"]
+            n = min(cols.shape[1], t - 1)
+            if n < 64:
+                continue
+            eq = (prompt[:, :n] == cols[:, :n]).all(axis=0)
+            m = int(np.argmin(eq)) if not eq.all() else n
+            if m > best_m:
+                best_m, best_key = m, key_
+        if best_m < 64 or best_key is None:
+            return None
+        self._order.remove(best_key)
+        self._order.append(best_key)  # LRU refresh
+        return best_m, self._store[best_key]["rows"]
+
+    def store(self, prompt: np.ndarray, rows: dict, bucket: int):
+        """rows: cache leaves pre-sliced to (L, 1, bucket, ...)."""
+        if not self.size or prompt.shape[1] < 128:
+            return
+        key_ = hash(prompt.tobytes())
+        if key_ in self._store:
+            return
+        self._store[key_] = {
+            "cols": prompt.copy(), "rows": rows, "bucket": bucket,
+        }
+        self._order.append(key_)
+        while len(self._order) > self.size:
+            del self._store[self._order.pop(0)]
+
+
 def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
                    hidden, window, key, temperature, top_p, top_k):
     """Sample one full (C+1)-row token column given slow-head logits.
@@ -159,12 +221,17 @@ def prefill_suffix_step(params, cfg: DualARConfig, scfg: SamplingConfig,
 
 def _restore_prefix_rows(cache, rows):
     """Write stored prefix rows (any cache layout) back into a live cache.
-    Called inside `prefill_suffix_step` (fused into its single dispatch)."""
+    Rows are stored with batch 1 and broadcast onto all cache rows (the
+    group-admission path restores one shared speaker prefix into k rows).
+    Called inside the suffix-prefill jits (fused into their dispatch)."""
     out = {}
     for name in cache:
+        r = rows[name]
+        r = jnp.broadcast_to(r, r.shape[:1] + (cache[name].shape[1],)
+                             + r.shape[2:])
         zeros = (0,) * cache[name].ndim
         out[name] = jax.lax.dynamic_update_slice(
-            cache[name], rows[name].astype(cache[name].dtype), zeros
+            cache[name], r.astype(cache[name].dtype), zeros
         )
     return out
 
@@ -396,6 +463,30 @@ def prefill_group_parked(params, cfg: DualARConfig, scfg: SamplingConfig,
     return column, next_keys, scratch
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 8))
+def prefill_group_parked_suffix(params, cfg: DualARConfig,
+                                scfg: SamplingConfig, inp_s, scratch, rows,
+                                start_pos, t_ends_s, kv_len, keys,
+                                temperature, top_p, top_k):
+    """Group admission over a shared prompt prefix: restore the stored
+    speaker-prefix KV rows into every scratch row, prefill only each
+    request's suffix (per-row real lengths t_ends_s), and sample first
+    columns — one dispatch, like `prefill_group_parked` but reading the
+    prefix from the cache instead of recomputing it."""
+    k = inp_s.shape[0]
+    scratch = _restore_prefix_rows(scratch, rows)
+    logits_full, hidden, scratch = dual_ar.prefill_suffix(
+        params, cfg, inp_s, scratch, start_pos, t_ends_s, kv_len
+    )
+    logits = _restricted_logits(cfg, logits_full)
+    window = jnp.zeros((k, scfg.ras_win_size), jnp.int32)
+    column, next_keys = _sample_column_rows(
+        params, cfg, scfg, logits, hidden, window, keys,
+        temperature, top_p, top_k, None,
+    )
+    return column, next_keys, scratch
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def scatter_parked_rows(pool, parked_cache, src_idx, rows, take):
     """Move parked cache rows into pool rows in-place (donated pool) with a
@@ -535,10 +626,7 @@ class GenerationSession:
         # batch-1 only. ~(bucket(t) * 36*8*128*2*2) bytes/entry on the
         # flagship (~150 MB at bucket 1024).
         self.prefix_cache_size = prefix_cache_size if max_batch == 1 else 0
-        self._prefix_store = {}  # key -> {"cols", "rows", "bucket"}
-        self._prefix_order = []  # LRU
-        self.prefix_hits = 0
-        self.prefix_misses = 0
+        self.prefix = PrefixStore(self.prefix_cache_size)
 
     def _kv_bucket(self, pos_end: int) -> int:
         for b in self.kv_buckets:
@@ -546,52 +634,15 @@ class GenerationSession:
                 return b
         return self.cache_len
 
-    # -- voice-clone prefix cache (see __init__) ------------------------
+    # -- voice-clone prefix cache (see __init__ and PrefixStore) --------
 
-    def _prefix_lookup(self, prompt: np.ndarray):
-        """Longest usable common prefix with any stored prompt.
+    @property
+    def prefix_hits(self):
+        return self.prefix.hits
 
-        Returns (m, rows) or None. The EXACT match length m is used (a
-        traced scalar downstream, so no per-m compiles); `rows` is the
-        entry's FULL stored bucket — positions >= m hold the other
-        prompt's k/v, which is safe: the suffix prefill overwrites
-        [m, t) and everything beyond a decode step's position is masked
-        until that step overwrites it (the same invariant that makes the
-        full-prefill bucket tail safe). m < t always, so at least one
-        suffix column remains to prefill (it yields the first sample)."""
-        t = prompt.shape[1]
-        best_m, best_key = 0, None
-        for key_, e in self._prefix_store.items():
-            cols = e["cols"]
-            n = min(cols.shape[1], t - 1)
-            if n < 64:
-                continue
-            eq = (prompt[:, :n] == cols[:, :n]).all(axis=0)
-            m = int(np.argmin(eq)) if not eq.all() else n
-            if m > best_m:
-                best_m, best_key = m, key_
-        if best_m < 64 or best_key is None:
-            return None
-        self._prefix_order.remove(best_key)
-        self._prefix_order.append(best_key)  # LRU refresh
-        return best_m, self._prefix_store[best_key]["rows"]
-
-    def _prefix_maybe_store(self, prompt: np.ndarray, bucket: int):
-        if not self.prefix_cache_size or prompt.shape[1] < 128:
-            return
-        key_ = hash(prompt.tobytes())
-        if key_ in self._prefix_store:
-            return
-        rows = {
-            name: arr[:, :, :bucket] for name, arr in self.cache.items()
-        }
-        self._prefix_store[key_] = {
-            "cols": prompt.copy(), "rows": rows, "bucket": bucket,
-        }
-        self._prefix_order.append(key_)
-        while len(self._prefix_order) > self.prefix_cache_size:
-            old = self._prefix_order.pop(0)
-            del self._prefix_store[old]
+    @property
+    def prefix_misses(self):
+        return self.prefix.misses
 
     def generate(
         self,
@@ -684,7 +735,7 @@ class GenerationSession:
         key, pk = jax.random.split(key)
         pre = None
         if self.prefix_cache_size and feats is None:
-            pre = self._prefix_lookup(prompt)
+            pre = self.prefix.lookup(prompt)
         if pre is not None:
             m, rows = pre
             ts = t - m
@@ -692,7 +743,7 @@ class GenerationSession:
             if m + sbucket > self.cache_len:
                 pre = None  # suffix pad tail would overrun the cache
         if pre is not None:
-            self.prefix_hits += 1
+            self.prefix.hits += 1
             inp_s = np.zeros((1, cfg.num_codebooks + 1, sbucket), np.int32)
             inp_s[0, :, :ts] = prompt[:, m:]
             kv_len = self._kv_bucket(m + sbucket)
@@ -702,13 +753,15 @@ class GenerationSession:
                 temperature, top_p, top_k,
             )
         else:
-            self.prefix_misses += 1
+            self.prefix.misses += 1
             column, self.cache = prefill_step(
                 self.params, cfg, scfg, jnp.asarray(inp), self.cache, offsets,
                 jnp.int32(t), pk, temperature, top_p, top_k, feats, mask,
             )
             if self.prefix_cache_size and feats is None:
-                self._prefix_maybe_store(prompt, bucket)
+                rows = {name: arr[:, :, :bucket]
+                        for name, arr in self.cache.items()}
+                self.prefix.store(prompt, rows, bucket)
         if device_partials:
             yield from self._stream_device(
                 column, t, budget, key, temperature, top_p, top_k

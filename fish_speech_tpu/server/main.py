@@ -74,6 +74,7 @@ def build_engine(args):
             params, cfg, SamplingConfig(), pool_size=args.pool_size,
             dtype=dtype, decode_chunk_size=args.decode_chunk_size,
             first_chunk_size=8, kv_quant=args.kv_int8,
+            prefix_cache_size=args.prefix_cache,
         )
         session = BatcherSession(batcher)
     else:
@@ -150,10 +151,11 @@ def parse_args(argv=None):
                         help=">1 enables continuous batching: a shared "
                              "decode pool serving this many streams")
     parser.add_argument("--prefix-cache", type=int, default=4,
-                        help="voice-clone prefix cache entries (single-"
-                             "stream session only; 0 disables): repeat-"
-                             "speaker requests restore the reference "
-                             "prompt's KV and prefill only the user text")
+                        help="voice-clone prefix cache entries (0 disables)"
+                             ": repeat-speaker requests restore the "
+                             "reference prompt's KV and prefill only the "
+                             "user text; with --pool-size, same-speaker "
+                             "admission groups reuse it too")
     parser.add_argument("--kv-int8", action="store_true",
                         help="int8 KV cache (halves decode KV reads; "
                              "+9%% at long-context serving)")

@@ -274,3 +274,83 @@ def test_kv_quant_pool():
         np.testing.assert_array_equal(a, c)
     finally:
         b.shutdown()
+
+
+def test_group_admission_prefix_cache_matches_cold():
+    """Same-speaker burst: the second wave's group admission restores the
+    stored prefix and suffix-prefills — outputs must be IDENTICAL to a
+    prefix-cache-off batcher for the same seeds (f32 path)."""
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3, max_seq_len=512
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    shared = random_prompt(cfg, 150, np.random.default_rng(7))
+
+    def prompts(n):
+        out = []
+        for i in range(n):
+            tail = random_prompt(cfg, 8 + i, np.random.default_rng(100 + i))
+            out.append(np.concatenate([shared, tail], axis=1))
+        return out
+
+    results = {}
+    for name, pcs in (("cold", 0), ("warm", 3)):
+        b = ContinuousBatcher(
+            params, cfg, SamplingConfig(), pool_size=2, dtype=jnp.float32,
+            decode_chunk_size=4, prefix_cache_size=pcs,
+        )
+        try:
+            outs = {}
+            # wave 1: stores (or not); wave 2: group hit
+            for wave in (0, 1):
+                threads, ps = [], prompts(3)
+
+                def worker(i, p):
+                    outs[(wave, i)] = b.generate(
+                        p, max_new_tokens=6, seed=10 * wave + i
+                    )
+
+                for i, p in enumerate(ps):
+                    t = threading.Thread(target=worker, args=(i, p))
+                    t.start()
+                    threads.append(t)
+                for t in threads:
+                    t.join()
+            results[name] = outs
+            if pcs:
+                assert b.prefix.hits >= 1, "second wave must hit the prefix"
+        finally:
+            b.shutdown()
+    for key in results["cold"]:
+        np.testing.assert_array_equal(
+            results["warm"][key], results["cold"][key],
+            err_msg=f"request {key} diverged under prefix caching",
+        )
+
+
+def test_worker_crash_fails_clients_instead_of_hanging():
+    """A worker crash (device OOM, compile failure) must terminate every
+    waiting client's stream, not leave them blocked forever."""
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3, max_seq_len=128
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    b = ContinuousBatcher(
+        params, cfg, SamplingConfig(), pool_size=2, dtype=jnp.float32,
+        decode_chunk_size=4,
+    )
+    try:
+        boom = RuntimeError("simulated device OOM")
+
+        def crash():
+            raise boom
+
+        b._admit = crash
+        out = b.submit(BatchRequest(prompt=random_prompt(cfg, 10),
+                                    max_new_tokens=4, seed=0))
+        item = out.get(timeout=10)  # must unblock, not hang
+        assert item is None
+        b.thread.join(timeout=5)
+        assert b._worker_error is boom
+    finally:
+        b.shutdown()

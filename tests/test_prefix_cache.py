@@ -75,7 +75,7 @@ def test_short_prompts_not_cached(setup):
     p = _prompt(cfg, 40, seed=4)
     warm.generate(p, jax.random.PRNGKey(0), max_new_tokens=4)
     warm.generate(p, jax.random.PRNGKey(0), max_new_tokens=4)
-    assert warm.prefix_hits == 0 and len(warm._prefix_store) == 0
+    assert warm.prefix_hits == 0 and len(warm.prefix) == 0
 
 
 def test_lru_eviction(setup):
@@ -84,7 +84,7 @@ def test_lru_eviction(setup):
     for s in range(3):
         warm.generate(_prompt(cfg, 130, seed=20 + s), jax.random.PRNGKey(s),
                       max_new_tokens=4)
-    assert len(warm._prefix_store) == 2
+    assert len(warm.prefix) == 2
 
 
 def test_unrelated_prompt_misses(setup):
