@@ -176,6 +176,8 @@ class BatcherSession:
             item = out.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise RuntimeError("batcher worker failed") from item
             chunks.append(item)
             yield np.concatenate(chunks, axis=0).T
         if not chunks:
@@ -242,8 +244,15 @@ class ContinuousBatcher:
 
     def submit(self, request: BatchRequest) -> "queue.Queue":
         """Queue a request; returns its output queue ((n, C+1) arrays,
-        terminated by None)."""
+        terminated by None — or by the worker's exception object if it
+        crashed, which consumers re-raise)."""
         check_top_k(request.top_k)
+        if self._worker_error is not None or not self.thread.is_alive():
+            # dead worker: fail fast instead of enqueueing to a queue
+            # nobody will ever drain (the client would block forever)
+            request.out.put(self._worker_error
+                            or RuntimeError("batcher worker is not running"))
+            return request.out
         self.pending.put(request)
         self._wake.set()
         return request.out
@@ -257,6 +266,8 @@ class ContinuousBatcher:
             item = out.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise RuntimeError("batcher worker failed") from item
             chunks.append(item)
         if not chunks:
             return np.zeros((self.cfg.num_codebooks + 1, 0), np.int32)
@@ -389,25 +400,27 @@ class ContinuousBatcher:
         cfg, scfg = self.cfg, self.scfg
         self._ensure_bucket_compiled(bucket)
         k = len(reqs)
-        inp = np.zeros((k, cfg.num_codebooks + 1, bucket), np.int32)
-        t_ends = np.zeros((k,), np.int32)
-        for j, req in enumerate(reqs):
-            t = req.prompt.shape[1]
-            inp[j, :, :t] = req.prompt
-            t_ends[j] = t
+        t_ends = np.asarray([req.prompt.shape[1] for req in reqs], np.int32)
         pks = _seed_keys(jnp.asarray([r.seed for r in reqs], jnp.uint32))
         pre = self._group_prefix(reqs, bucket)
         if pre is not None:
-            # the scratch must hold prefix + bucketed suffix, which can
-            # exceed the prompt bucket (e.g. near-identical prompts:
-            # m = t-1 but the suffix still pads to 64)
-            bucket = pick_bucket(pre[0] + pre[2], self.cache_len)
+            # The scratch must hold (a) the FULL stored rows (the restore
+            # is a dynamic_update_slice: update <= operand) and (b) the
+            # prefix + bucketed suffix, which can exceed the prompt bucket
+            # (near-identical prompts: m = t-1 but the suffix pads to 64).
+            # Preferring the stored bucket keeps the common same-speaker
+            # case on the signature the miss path already precompiled;
+            # only the suffix jit itself compiles lazily on a group's
+            # FIRST hit per (k, sbucket, bucket) — noted in serving docs.
+            m, rows, sbucket = pre
+            entry_bucket = rows["k"].shape[2]
+            bucket = (entry_bucket if m + sbucket <= entry_bucket
+                      else pick_bucket(m + sbucket, self.cache_len))
         # fresh cache (NOT shared scratch): the parked entry owns it
         cache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype,
                                       quant=self.kv_quant)
         if pre is not None:
             self.prefix.hits += 1
-            m, rows, sbucket = pre
             inp_s = np.zeros((k, cfg.num_codebooks + 1, sbucket), np.int32)
             ts = np.zeros((k,), np.int32)
             for j, req in enumerate(reqs):
@@ -423,6 +436,9 @@ class ContinuousBatcher:
         else:
             if self.prefix.size:
                 self.prefix.misses += 1
+            inp = np.zeros((k, cfg.num_codebooks + 1, bucket), np.int32)
+            for j, req in enumerate(reqs):
+                inp[j, :, : t_ends[j]] = req.prompt
             column, next_keys, cache = prefill_group_parked(
                 self.params, cfg, scfg, jnp.asarray(inp), cache,
                 jnp.asarray(t_ends), pks,
@@ -430,7 +446,7 @@ class ContinuousBatcher:
                 jnp.asarray([r.top_p for r in reqs], jnp.float32),
                 jnp.asarray([r.top_k for r in reqs], jnp.int32),
             )
-            if self.prefix.size:
+            if self.prefix.size and self.prefix.accepts(reqs[0].prompt):
                 self.prefix.store(
                     reqs[0].prompt,
                     {name: arr[:, :1, :bucket] for name, arr in cache.items()},
@@ -572,18 +588,21 @@ class ContinuousBatcher:
         except BaseException as e:  # noqa: BLE001
             _dbg(f"worker crashed: {type(e).__name__}: {e}")
             self._worker_error = e
+            # terminate every waiting stream with the EXCEPTION, not the
+            # normal-completion None: callers must be able to distinguish
+            # "crashed at frame 40" from "im_end at frame 40"
             for s in self.slots:
                 if s.active and s.request is not None:
-                    s.request.out.put(None)
+                    s.request.out.put(e)
                     s.active = False
             for pk in self.parked:
                 for j, req in enumerate(pk.reqs):
                     if pk.alive[j]:
-                        req.out.put(None)
+                        req.out.put(e)
             self.parked.clear()
             self._drain_pending()
             for req in self._overflow:
-                req.out.put(None)
+                req.out.put(e)
             self._overflow.clear()
             raise
 

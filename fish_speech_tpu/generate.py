@@ -103,13 +103,18 @@ class PrefixStore:
         self._order.append(best_key)  # LRU refresh
         return best_m, self._store[best_key]["rows"]
 
+    def accepts(self, prompt: np.ndarray) -> bool:
+        """True if `store` would keep this prompt — check BEFORE slicing
+        cache rows (each slice is a device op; on the TTFA hot path that
+        is wasted dispatches for short or already-stored prompts)."""
+        return (bool(self.size) and prompt.shape[1] >= 128
+                and hash(prompt.tobytes()) not in self._store)
+
     def store(self, prompt: np.ndarray, rows: dict, bucket: int):
         """rows: cache leaves pre-sliced to (L, 1, bucket, ...)."""
-        if not self.size or prompt.shape[1] < 128:
+        if not self.accepts(prompt):
             return
         key_ = hash(prompt.tobytes())
-        if key_ in self._store:
-            return
         self._store[key_] = {
             "cols": prompt.copy(), "rows": rows, "bucket": bucket,
         }
@@ -385,11 +390,7 @@ def prefill_single_into_pool(params, cfg: DualARConfig, scfg: SamplingConfig,
     logits_full, hidden, scratch = dual_ar.prefill(
         params, cfg, inp, scratch, jnp.zeros((1,), jnp.int32), length
     )
-    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
-    logits = jnp.concatenate(
-        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
-        axis=1,
-    )
+    logits = _restricted_logits(cfg, logits_full)
     column = _sample_column(
         params, cfg, scfg, logits, hidden, None, key, temperature, top_p, top_k
     )
@@ -417,11 +418,7 @@ def prefill_group_into_pool(params, cfg: DualARConfig, scfg: SamplingConfig,
     logits_full, hidden, scratch = dual_ar.prefill(
         params, cfg, inp, scratch, jnp.zeros((k,), jnp.int32), t_ends
     )
-    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
-    logits = jnp.concatenate(
-        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
-        axis=1,
-    )
+    logits = _restricted_logits(cfg, logits_full)
     window = jnp.zeros((k, scfg.ras_win_size), jnp.int32)  # empty -> no RAS
     column, next_keys = _sample_column_rows(
         params, cfg, scfg, logits, hidden, window, keys,
@@ -450,11 +447,7 @@ def prefill_group_parked(params, cfg: DualARConfig, scfg: SamplingConfig,
     logits_full, hidden, scratch = dual_ar.prefill(
         params, cfg, inp, scratch, jnp.zeros((k,), jnp.int32), t_ends
     )
-    sb, se = cfg.semantic_begin_id, cfg.semantic_end_id
-    logits = jnp.concatenate(
-        [logits_full[:, sb : se + 1], logits_full[:, cfg.im_end_id][:, None]],
-        axis=1,
-    )
+    logits = _restricted_logits(cfg, logits_full)
     window = jnp.zeros((k, scfg.ras_win_size), jnp.int32)
     column, next_keys = _sample_column_rows(
         params, cfg, scfg, logits, hidden, window, keys,
@@ -758,7 +751,8 @@ class GenerationSession:
                 self.params, cfg, scfg, jnp.asarray(inp), self.cache, offsets,
                 jnp.int32(t), pk, temperature, top_p, top_k, feats, mask,
             )
-            if self.prefix_cache_size and feats is None:
+            if (self.prefix_cache_size and feats is None
+                    and self.prefix.accepts(prompt)):
                 rows = {name: arr[:, :, :bucket]
                         for name, arr in self.cache.items()}
                 self.prefix.store(prompt, rows, bucket)

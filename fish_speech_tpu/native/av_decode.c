@@ -19,6 +19,8 @@
  *            stream is not knowable up front)
  *     rc -1: open/demux error   rc -2: no audio stream / no decoder
  *     rc -4: decode error       rc -5: resampler error
+ *     rc -6: mid-stream channel-layout change, or the stream demuxed but
+ *            produced zero audio samples
  *
  * Build: fish_speech_tpu/native/build.py (gcc -lavformat -lavcodec
  * -lavutil -lswresample). Loads lazily; absence of the libraries just

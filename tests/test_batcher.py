@@ -349,8 +349,59 @@ def test_worker_crash_fails_clients_instead_of_hanging():
         out = b.submit(BatchRequest(prompt=random_prompt(cfg, 10),
                                     max_new_tokens=4, seed=0))
         item = out.get(timeout=10)  # must unblock, not hang
-        assert item is None
+        # the stream terminates with the EXCEPTION (distinguishable from a
+        # normal im_end), whether routed by the crash handler or by
+        # submit()'s dead-worker fail-fast
+        assert isinstance(item, BaseException)
         b.thread.join(timeout=5)
         assert b._worker_error is boom
+        # post-crash submissions fail fast instead of blocking forever
+        out2 = b.submit(BatchRequest(prompt=random_prompt(cfg, 10),
+                                     max_new_tokens=4, seed=1))
+        assert isinstance(out2.get(timeout=5), BaseException)
+        with pytest.raises(RuntimeError):
+            b.generate(random_prompt(cfg, 10), max_new_tokens=4, seed=2)
+    finally:
+        b.shutdown()
+
+
+def test_prefix_hit_smaller_than_stored_bucket():
+    """A hit whose prefix+suffix bucket is SMALLER than the stored entry's
+    bucket must still restore correctly (the scratch is sized to the
+    stored rows; regression: dynamic_update_slice with update > operand
+    crashed the worker)."""
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3, max_seq_len=512
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    b = ContinuousBatcher(
+        params, cfg, SamplingConfig(), pool_size=2, dtype=jnp.float32,
+        decode_chunk_size=4, prefix_cache_size=2,
+    )
+    try:
+        shared = random_prompt(cfg, 70, np.random.default_rng(1))
+        # store a LONG prompt (bucket 256)
+        long_tail = random_prompt(cfg, 80, np.random.default_rng(2))
+        b.generate(np.concatenate([shared, long_tail], axis=1),
+                   max_new_tokens=4, seed=0)
+        assert len(b.prefix) == 1
+        # short request shares only the first 70 columns: m=70, suffix
+        # bucket 64 -> prefix+suffix bucket 128 < stored bucket 256
+        short = np.concatenate(
+            [shared, random_prompt(cfg, 5, np.random.default_rng(3))], axis=1
+        )
+        out = b.generate(short, max_new_tokens=4, seed=1)
+        assert b.prefix.hits == 1 and b._worker_error is None
+        _check(cfg, out)
+        # and must equal the cold result
+        b2 = ContinuousBatcher(
+            params, cfg, SamplingConfig(), pool_size=2, dtype=jnp.float32,
+            decode_chunk_size=4, prefix_cache_size=0,
+        )
+        try:
+            ref = b2.generate(short, max_new_tokens=4, seed=1)
+        finally:
+            b2.shutdown()
+        np.testing.assert_array_equal(out, ref)
     finally:
         b.shutdown()
