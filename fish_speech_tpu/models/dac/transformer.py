@@ -62,7 +62,10 @@ def codec_transformer(params, cfg: CodecTransformerConfig, x):
         x = x @ params["input_proj"]["w"] + params["input_proj"]["b"]
 
     t = x.shape[1]
-    freqs = precompute_rope(t, cfg.head_dim, cfg.rope_base, dtype=jnp.float32)
+    # bf16 table: the reference registers its codec rope buffer in bfloat16
+    # (`modded_dac.py:108-112` + `precompute_freqs_cis` default dtype), so the
+    # trained checkpoints saw bf16-rounded angles; apply_rope upcasts to f32.
+    freqs = precompute_rope(t, cfg.head_dim, cfg.rope_base, dtype=jnp.bfloat16)
     if cfg.window_size is not None:
         mask = windowed_causal_mask(t, cfg.window_size)
     else:
