@@ -50,6 +50,12 @@ from fish_speech_tpu.ops.norms import rms_norm
 from fish_speech_tpu.ops.quant import mm
 from fish_speech_tpu.ops.rope import apply_rope, precompute_rope
 
+# Flash-prefill dispatch (read at trace time by `prefill`): "auto" uses the
+# Pallas kernel on TPU for prompts >= 512 tokens; "interpret" forces the
+# kernel in interpret mode (lets CPU tests measure the flash/XLA numerics
+# boundary the prefix-cache hit path crosses); "off" forces XLA attention.
+FLASH_PREFILL = "auto"
+
 # ---------------------------------------------------------------------------
 # Initialization
 # ---------------------------------------------------------------------------
@@ -659,7 +665,10 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end,
 
     # XLA attention materializes (B,H,T,T) fp32 scores; the Pallas flash
     # kernel keeps them in VMEM. Use it on TPU for long prompts.
-    use_flash = t >= 512 and jax.default_backend() == "tpu"
+    if FLASH_PREFILL == "auto":
+        use_flash = t >= 512 and jax.default_backend() == "tpu"
+    else:
+        use_flash = FLASH_PREFILL == "interpret"
     i = jnp.arange(t)
     mask = (i[None, :] <= i[:, None])[None] & (
         i[None, None, :] >= offsets[:, None, None]
@@ -695,7 +704,9 @@ def prefill(params, cfg: DualARConfig, inp, cache, offsets, t_end,
                 flash_prefill_attention,
             )
 
-            y = flash_prefill_attention(q, k, v, offsets)
+            y = flash_prefill_attention(
+                q, k, v, offsets, interpret=FLASH_PREFILL == "interpret"
+            )
         else:
             y = gqa_attention(q, k, v, mask)
         carry = carry + _attn_out(lp, spec, y.reshape(b, t, -1))

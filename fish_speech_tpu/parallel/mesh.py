@@ -91,9 +91,20 @@ def dual_ar_param_specs(cfg: DualARConfig):
     return specs
 
 
-def kv_cache_specs():
-    """Slow KV cache (L, B, S, Hkv, Dh): batch over dp, heads over tp."""
-    return {"k": P(None, "dp", None, "tp", None), "v": P(None, "dp", None, "tp", None)}
+def kv_cache_specs(quant: bool = False):
+    """Slow KV cache (L, B, S, Hkv, Dh): batch over dp, heads over tp.
+
+    quant=True adds specs for the int8 cache's per-(position, head) scale
+    leaves ("ks"/"vs", (L, B, S, Hkv) — `dual_ar.init_kv_cache`), which
+    shard like k/v minus the head-dim axis."""
+    specs = {
+        "k": P(None, "dp", None, "tp", None),
+        "v": P(None, "dp", None, "tp", None),
+    }
+    if quant:
+        specs["ks"] = P(None, "dp", None, "tp")
+        specs["vs"] = P(None, "dp", None, "tp")
+    return specs
 
 
 def batch_spec(accum: bool = False):

@@ -13,6 +13,9 @@ Endpoint and wire-format parity with the reference server
   DELETE /v1/references/delete
   POST /v1/references/update
   GET  /v1/formats              {formats: [...]} actual encoder backends
+  GET  /v1/openapi.json         OpenAPI 3.1 spec built from the pydantic
+                                models (open under auth; /docs needs it)
+  GET  /docs                    self-contained API docs viewer (no CDN)
   GET  /ui                      built-in web UI (static/, i18n-localized;
                                 streams + plays in-browser via WebAudio,
                                 reference library browser, format picker)
@@ -121,7 +124,9 @@ async def error_middleware(request, handler):
 def make_auth_middleware(api_key: Optional[str]):
     @web.middleware
     async def auth_middleware(request, handler):
-        if api_key and request.path.startswith("/v1/"):
+        # the spec is static metadata (no secrets) and /docs needs it
+        if (api_key and request.path.startswith("/v1/")
+                and request.path != "/v1/openapi.json"):
             auth = request.headers.get("Authorization", "")
             if auth != f"Bearer {api_key}":
                 return web.json_response({"error": "Unauthorized"}, status=401)
@@ -412,8 +417,22 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
             )
             return _negotiated_response(request, resp, status=404)
 
+    async def openapi_json(request):
+        from fish_speech_tpu.server.openapi import build_spec
+
+        if "openapi_spec" not in app:
+            app["openapi_spec"] = build_spec()
+        return web.json_response(app["openapi_spec"])
+
+    async def docs(request):
+        from fish_speech_tpu.server.openapi import DOCS_HTML
+
+        return web.Response(text=DOCS_HTML, content_type="text/html")
+
     app.router.add_get("/v1/health", health)
     app.router.add_post("/v1/health", health)
+    app.router.add_get("/v1/openapi.json", openapi_json)
+    app.router.add_get("/docs", docs)
     app.router.add_get("/ui", ui)
     app.router.add_static("/ui/static/", _STATIC_DIR)
     app.router.add_get("/v1/formats", formats)

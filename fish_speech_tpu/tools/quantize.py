@@ -1,9 +1,20 @@
-"""Offline weight-only PTQ: write an int8-quantized native checkpoint
-(reference `tools/llama/quantize.py`, gpt-fast style; int8 per-channel).
+"""Offline weight-only PTQ: write an int8- or int4-quantized native
+checkpoint (reference `tools/llama/quantize.py:242-420` writes both int8
+per-channel and int4 groupwise gpt-fast layouts; here int4 is the packed
+half-split layout `ops/quant.quantize_int4` that the runtime `mm` and the
+Pallas fused kernel consume directly).
 
     python -m fish_speech_tpu.tools.quantize \
         --checkpoint-path checkpoints/s2-pro-tpu \
-        --mode int8
+        --mode int8            # recommended on v5e: faster than int4
+    python -m fish_speech_tpu.tools.quantize \
+        --checkpoint-path checkpoints/s2-pro-tpu \
+        --mode int4 --group-size 128
+
+int8 is the recommended serving config on v5e — the measured int4 decode
+path is SLOWER there (HBM-bound decode gains < unpack cost; numbers in
+`ops/pallas_int4.py`) — but the offline tool writes both for capability
+parity with the reference CLI; heads stay int8 in both modes.
 """
 
 from __future__ import annotations
@@ -17,9 +28,13 @@ import click
 @click.command()
 @click.option("--checkpoint-path", type=click.Path(exists=True), required=True)
 @click.option("--output", type=click.Path(), default=None,
-              help="default: <checkpoint>-int8")
-@click.option("--mode", type=click.Choice(["int8"]), default="int8")
-def main(checkpoint_path, output, mode):
+              help="default: <checkpoint>-<mode>")
+@click.option("--mode", type=click.Choice(["int8", "int4"]), default="int8")
+@click.option("--group-size", type=int, default=128,
+              help="int4 quantization group size along the input dim "
+                   "(auto-halved per layer until it divides the dim, "
+                   "matching the runtime rule)")
+def main(checkpoint_path, output, mode, group_size):
     import jax
 
     from fish_speech_tpu.ops.quant import quantize_dual_ar
@@ -30,7 +45,7 @@ def main(checkpoint_path, output, mode):
     out = Path(output) if output else src.with_name(src.name + f"-{mode}")
 
     params, cfg = load_dual_ar(src, dtype=None)
-    qparams = quantize_dual_ar(params)
+    qparams = quantize_dual_ar(params, mode=mode, group_size=group_size)
     save_dual_ar(out, qparams, cfg)
     for name in ("tokenizer.json",):
         if (src / name).exists():

@@ -38,6 +38,62 @@ def _mk(params, cfg, prefix_cache_size, **kw):
                              prefix_cache_size=prefix_cache_size, **kw)
 
 
+@pytest.mark.slow
+def test_bf16_hit_vs_cold_logit_bound():
+    """Measured numerics envelope for the prefix-cache hit path at bf16
+    across the flash/XLA attention boundary.
+
+    On TPU a >=512-token cold prefill runs the Pallas flash kernel while
+    the hit path's short suffix pass runs XLA attention — two reduction
+    orders over the same keys (README discusses this; SGLang's radix cache
+    shares the property). This test reproduces that exact boundary on CPU
+    (flash kernel in interpret mode vs `prefill_suffix`'s XLA attention)
+    with bf16 weights and KV, and pins max |Δlogit| between a cold full
+    prefill and a prefix-restore + suffix prefill. Typical measured delta
+    is ~0.004 on |logit| ~ O(10); the bound asserts an order of magnitude
+    of headroom so it fails on real divergence (wrong positions, unmasked
+    pad, mis-restored rows), not on fp noise."""
+    cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=331, im_end_id=3,
+                       max_seq_len=1024)
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    t_pre, t_suf = 512, 32
+    inp = _prompt(cfg, t_pre + t_suf, seed=3)[None]  # (1, C+1, T)
+    zero_off = jnp.zeros((1,), jnp.int32)
+
+    old = dual_ar.FLASH_PREFILL
+    dual_ar.FLASH_PREFILL = "interpret"  # the TPU >=512-prompt kernel path
+    try:
+        # cold: one full flash prefill over all 544 columns
+        cache = dual_ar.init_kv_cache(cfg, 1, t_pre + t_suf, dtype=jnp.bfloat16)
+        logits_cold, _, _ = dual_ar.prefill(
+            params, cfg, jnp.asarray(inp), cache, zero_off,
+            jnp.int32(t_pre + t_suf),
+        )
+        # hit: flash-prefill the shared 512-column prefix (what populated
+        # the store), then XLA-attention suffix prefill over the cached rows
+        cache = dual_ar.init_kv_cache(cfg, 1, t_pre + t_suf, dtype=jnp.bfloat16)
+        _, _, cache = dual_ar.prefill(
+            params, cfg, jnp.asarray(inp[:, :, :t_pre]), cache, zero_off,
+            jnp.int32(t_pre),
+        )
+    finally:
+        dual_ar.FLASH_PREFILL = old
+    logits_hit, _, _ = dual_ar.prefill_suffix(
+        params, cfg, jnp.asarray(inp[:, :, t_pre:]), cache,
+        jnp.int32(t_pre), jnp.int32(t_suf), kv_len=t_pre + t_suf,
+    )
+
+    delta = float(jnp.max(jnp.abs(logits_cold - logits_hit)))
+    scale = float(jnp.max(jnp.abs(logits_cold)))
+    assert np.isfinite(delta)
+    assert delta <= 0.05 * max(scale, 1.0), (
+        f"hit-vs-cold bf16 logit delta {delta:.4f} exceeds envelope "
+        f"(logit scale {scale:.2f})"
+    )
+    # and the argmax decision itself should agree on this random model
+    assert int(jnp.argmax(logits_cold)) == int(jnp.argmax(logits_hit))
+
+
 def test_hit_path_tokens_identical_to_cold(setup):
     cfg, params = setup
     shared = _prompt(cfg, 140, seed=1)

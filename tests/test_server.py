@@ -84,6 +84,38 @@ def test_health(engine):
     assert status == 200 and body == {"status": "ok"}
 
 
+def test_openapi_and_docs(engine):
+    """Schema self-description parity with the reference's kui OpenAPI mount
+    (`tools/api_server.py:59-66`): /v1/openapi.json is a valid spec built
+    from the live pydantic models (open even under auth — /docs needs it),
+    and /docs serves the self-contained viewer."""
+    async def fn(client):
+        spec = await (await client.get("/v1/openapi.json")).json()
+        docs = await client.get("/docs")
+        authed = await client.get(
+            "/v1/openapi.json", headers={"Authorization": "Bearer wrong"}
+        )
+        return spec, docs.status, docs.content_type, authed.status
+
+    spec, docs_status, docs_ct, open_status = run_client(
+        engine, fn, api_key="secret"
+    )
+    assert spec["openapi"].startswith("3.")
+    assert "/v1/tts" in spec["paths"]
+    for path in ("/v1/vqgan/encode", "/v1/vqgan/decode", "/v1/references/add",
+                 "/v1/references/list", "/v1/formats", "/v1/health"):
+        assert path in spec["paths"], path
+    req = spec["paths"]["/v1/tts"]["post"]["requestBody"]
+    assert (req["content"]["application/json"]["schema"]["$ref"]
+            == "#/components/schemas/ServeTTSRequest")
+    tts_schema = spec["components"]["schemas"]["ServeTTSRequest"]
+    # spec is generated from the live model: field set matches exactly
+    from fish_speech_tpu.server.schema import ServeTTSRequest
+    assert set(tts_schema["properties"]) == set(ServeTTSRequest.model_fields)
+    assert docs_status == 200 and docs_ct == "text/html"
+    assert open_status == 200  # spec stays reachable under auth
+
+
 def test_auth_rejects_without_key(engine):
     async def fn(client):
         r1 = await client.get("/v1/health")

@@ -68,6 +68,36 @@ def test_tp_sharded_generation_matches(setup):
     np.testing.assert_array_equal(got, want)
 
 
+def test_tp_sharded_generation_matches_kv_quant(setup):
+    """int8 KV cache x tensor parallelism: the quantized cache's scale
+    leaves (ks/vs) get explicit specs (`mesh.kv_cache_specs(quant=True)`)
+    so sharded int8-KV generation matches unsharded int8-KV generation."""
+    cfg, params = setup
+    prompt = make_prompt(cfg)
+
+    ref_session = GenerationSession(
+        params, cfg, SamplingConfig(), dtype=jnp.float32, decode_chunk_size=8,
+        kv_quant=True,
+    )
+    want = ref_session.generate(prompt, jax.random.PRNGKey(5), max_new_tokens=12)
+
+    mesh = make_mesh(jax.devices()[:2], dp=1, tp=2)
+    pspecs = to_named(mesh, dual_ar_param_specs(cfg))
+    sharded_params = jax.tree_util.tree_map(jax.device_put, params, pspecs)
+
+    session = GenerationSession(
+        sharded_params, cfg, SamplingConfig(), dtype=jnp.float32,
+        decode_chunk_size=8, kv_quant=True,
+    )
+    cspecs = to_named(mesh, kv_cache_specs(quant=True))
+    session.cache = jax.tree_util.tree_map(
+        jax.device_put, session.cache, cspecs
+    )
+
+    got = session.generate(prompt, jax.random.PRNGKey(5), max_new_tokens=12)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_tp_sharded_forward_matches(setup):
     cfg, params = setup
     rng = np.random.default_rng(1)

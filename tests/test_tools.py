@@ -114,3 +114,58 @@ def test_quantize_cli(tmp_path, tokenizer):
     qparams, qcfg = load_dual_ar(qdir, dtype=None)
     assert qcfg == cfg
     assert qparams["layers"]["wqkv"]["q"].dtype == jnp.int8
+
+
+def test_quantize_cli_int4(tmp_path, tokenizer):
+    """--mode int4 writes a packed groupwise checkpoint (reference CLI
+    parity, `tools/llama/quantize.py:242-420`); the loaded tree is
+    IDENTICAL to runtime quantization and feeds `ops.quant.mm` directly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fish_speech_tpu.config import dual_ar_tiny
+    from fish_speech_tpu.models.dual_ar import init_dual_ar
+    from fish_speech_tpu.ops.quant import mm, quantize_dual_ar
+    from fish_speech_tpu.tools.quantize import main
+    from fish_speech_tpu.utils.checkpoint import load_dual_ar, save_dual_ar
+
+    cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=331, im_end_id=3)
+    params = init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    src = tmp_path / "ckpt"
+    save_dual_ar(src, params, cfg, tokenizer)
+
+    runner = CliRunner()
+    r = runner.invoke(
+        main,
+        ["--checkpoint-path", str(src), "--mode", "int4", "--group-size", "32"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0
+    qparams, qcfg = load_dual_ar(tmp_path / "ckpt-int4", dtype=None)
+    assert qcfg == cfg
+    assert qparams["layers"]["wqkv"]["p"].dtype == jnp.uint8
+    assert "gs" in qparams["layers"]["wqkv"]
+    # heads stay int8 in int4 mode (quality-sensitive, small traffic share)
+    assert qparams["fast"]["output"]["q"].dtype == jnp.int8
+
+    # loaded PTQ tree == runtime quantization, leaf for leaf
+    want = quantize_dual_ar(params, mode="int4", group_size=32)
+    flat_w = jax.tree_util.tree_leaves_with_path(want)
+    flat_g = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(qparams)
+    }
+    assert len(flat_w) == len(flat_g)
+    for k, v in flat_w:
+        np.testing.assert_array_equal(
+            np.asarray(flat_g[jax.tree_util.keystr(k)]), np.asarray(v)
+        )
+
+    # and the packed weight drives the runtime matmul
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, cfg.dim)), jnp.bfloat16
+    )
+    y = mm(x, {k: v[0] for k, v in qparams["layers"]["wqkv"].items()})
+    yw = mm(x, {k: v[0] for k, v in want["layers"]["wqkv"].items()})
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(yw))
