@@ -23,6 +23,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fish_speech_tpu.config import DualARConfig
 
 
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_hosts: Optional[int] = None,
+    host_id: Optional[int] = None,
+) -> bool:
+    """Multi-host wiring: join the JAX distributed runtime.
+
+    The reference reaches multi-node through Lightning DDP
+    (`fish_speech/configs/base.yaml:18-21` + `num_nodes`); here the same
+    capability is jax.distributed + GSPMD — after initialize, `jax.devices()`
+    is the GLOBAL device set, `make_mesh` spans all hosts, and the
+    NamedSharding specs place collectives on ICI/DCN automatically. Call
+    BEFORE any other jax API touches the backend. Returns True when
+    multi-host mode was activated (coordinator given).
+
+    CPU backends use gloo collectives (also how the 2-process smoke test
+    runs, `tests/test_multihost.py`).
+    """
+    if not coordinator:
+        return False
+    try:  # only affects CPU backends; harmless elsewhere
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # noqa: BLE001 - older jax without the option
+        pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_hosts,
+        process_id=host_id,
+    )
+    return True
+
+
 def make_mesh(
     devices: Optional[Sequence] = None,
     dp: Optional[int] = None,

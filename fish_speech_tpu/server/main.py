@@ -165,12 +165,23 @@ def parse_args(argv=None):
                         help="random tiny models (smoke test)")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--no-warmup", action="store_true")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host serving: jax.distributed "
+                             "coordinator host:port; run one process per "
+                             "host, model sharded over the global mesh "
+                             "(HTTP should face host 0)")
+    parser.add_argument("--num-hosts", type=int, default=None)
+    parser.add_argument("--host-id", type=int, default=None)
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     args = parse_args(argv)
+
+    from fish_speech_tpu.parallel.mesh import init_distributed
+
+    init_distributed(args.coordinator, args.num_hosts, args.host_id)
 
     from aiohttp import web
 

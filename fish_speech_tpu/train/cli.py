@@ -41,11 +41,23 @@ import click
               default="bfloat16")
 @click.option("--tiny", is_flag=True, help="tiny random model (dev smoke run)")
 @click.option("--no-resume", is_flag=True)
+@click.option("--coordinator", type=str, default=None,
+              help="multi-host: coordinator address host:port "
+                   "(jax.distributed; ref capability = Lightning DDP "
+                   "num_nodes). batch-size becomes PER-HOST.")
+@click.option("--num-hosts", type=int, default=None)
+@click.option("--host-id", type=int, default=None)
 def main(checkpoint_path, data_paths, val_paths, output, max_steps, batch_size,
          grad_accum, max_length, lr, warmup_steps, ckpt_every, val_every, lora_r,
-         lora_alpha, lora_targets, dp, tp, seed, precision, tiny, no_resume):
+         lora_alpha, lora_targets, dp, tp, seed, precision, tiny, no_resume,
+         coordinator, num_hosts, host_id):
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
+    from fish_speech_tpu.parallel.mesh import init_distributed
+
+    init_distributed(coordinator, num_hosts, host_id)
+
+    import jax
     import jax.numpy as jnp
 
     from fish_speech_tpu.config import dual_ar_tiny
@@ -100,9 +112,13 @@ def main(checkpoint_path, data_paths, val_paths, output, max_steps, batch_size,
     )
 
     def make_loader(paths):
+        # multi-host: each host reads only its shard of the proto files
+        # (explicit (shard_id, num_shards) — same mechanism as worker
+        # sharding); Trainer._place_batch assembles the global dp batch.
         ds = SemanticIterableDataset(
             list(paths), tokenizer, seed=seed, max_length=max_length,
             num_codebooks=cfg.num_codebooks,
+            shard_id=jax.process_index(), num_shards=jax.process_count(),
         )
         return DataLoader(
             ds, batch_size, TextDataCollator(tokenizer, max_length)

@@ -220,19 +220,13 @@ class Trainer:
         while self.step < tcfg.max_steps:
             if self.accum > 1:
                 micro = [next(train_iter) for _ in range(self.accum)]
-                batch = {
-                    k: jax.device_put(
-                        jnp.stack([jnp.asarray(m[k]) for m in micro]),
-                        self.bspecs_accum[k],
-                    )
-                    for k in micro[0]
-                }
+                batch = self._place_batch(
+                    {k: np.stack([np.asarray(m[k]) for m in micro])
+                     for k in micro[0]},
+                    self.bspecs_accum,
+                )
             else:
-                batch = next(train_iter)
-                batch = {
-                    k: jax.device_put(jnp.asarray(v), self.bspecs[k])
-                    for k, v in batch.items()
-                }
+                batch = self._place_batch(next(train_iter), self.bspecs)
             self.params, self.opt_state, metrics = self.train_step(
                 self.params, self.opt_state, batch
             )
@@ -265,6 +259,27 @@ class Trainer:
         if self.step % tcfg.ckpt_every_steps != 0:
             self.save_checkpoint()
 
+    def _place_batch(self, batch, specs):
+        """Host-local numpy batch -> globally sharded device arrays.
+
+        Single-host: plain device_put against the (dp, tp) specs.
+        Multi-host (`parallel.mesh.init_distributed`): each host's loader
+        yields only ITS dp rows (dataset sharded by `jax.process_index()`),
+        and `jax.make_array_from_process_local_data` assembles the global
+        batch without any cross-host copy of raw data. The global batch is
+        batch_size x process_count."""
+        if jax.process_count() > 1:
+            return {
+                k: jax.make_array_from_process_local_data(
+                    specs[k], np.asarray(batch[k])
+                )
+                for k in batch
+            }
+        return {
+            k: jax.device_put(jnp.asarray(v), specs[k])
+            for k, v in batch.items()
+        }
+
     def validate(self, val_loader):
         from fish_speech_tpu.train.loss import dual_ar_loss
 
@@ -275,10 +290,7 @@ class Trainer:
         for i, batch in enumerate(val_loader):
             if i >= self.train_cfg.val_batches:
                 break
-            batch = {
-                k: jax.device_put(jnp.asarray(v), self.bspecs[k])
-                for k, v in batch.items()
-            }
+            batch = self._place_batch(batch, self.bspecs)
             losses.append({k: float(v) for k, v in val_fn(self.params, batch).items()})
         if losses:
             m = {k: float(np.mean([x[k] for x in losses])) for k in losses[0]}
