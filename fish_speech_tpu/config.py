@@ -339,6 +339,14 @@ class SamplingConfig:
     # Accepted for API parity; the reference plumbs it through but the RAS
     # sampler never applies it (`schema.py:102`, unused in `sample()`).
     repetition_penalty: float = 1.1
+    # Benchmark-only: mask the <|im_end|> slot so streams never stop. With
+    # RANDOM weights the restricted head draws im_end with p ~ 1/(range+1)
+    # per step, so a throughput bench's counted frames vary run to run (this
+    # was the entire round-1 -> round-2 "858 -> 797 f/s regression": wall
+    # time was within 1%, the frame COUNT differed). Sustained serving keeps
+    # slots full via the continuous batcher, so masking measures the real
+    # steady state. Never set for actual synthesis.
+    mask_im_end: bool = False
 
 
 @dataclass(frozen=True)

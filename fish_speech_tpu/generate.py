@@ -133,6 +133,9 @@ def _sample_column(params, cfg: DualARConfig, scfg: SamplingConfig, logits,
     b = logits.shape[0]
     keys = jax.random.split(key, 4)
 
+    if scfg.mask_im_end:  # benchmark-only, see SamplingConfig
+        logits = logits.at[:, -1].set(-jnp.inf)
+
     # One top-k pass shared by the normal and RAS high-temperature samples.
     state = topk_state(logits)
     idx_normal = sample_topk(keys[0], state, temperature, top_p, top_k)
@@ -848,12 +851,19 @@ class GenerationSession:
         temperature: float = 1.0,
         top_p: float = 0.9,
         top_k: int = 30,
+        first_chunk_size: Optional[int] = None,
     ):
         """Batched generation: B prompts decode in lockstep, sharing every
         weight read (the single-stream decode is HBM-bandwidth-bound, so
         aggregate throughput scales nearly linearly with B until compute
         binds). Returns a list of (C+1, N_i) arrays, each truncated at its
         own im_end.
+
+        first_chunk_size: optional smaller FIRST decode chunk (the streaming
+        ramp `generate_stream` applies by default) so the first audio-worth
+        of columns returns after prefill + a short chunk instead of a full
+        one; steady-state chunks stay at decode_chunk_size. Costs one extra
+        dispatch per generation (use for latency-sensitive batches).
         """
         cfg, scfg = self.cfg, self.scfg
         check_top_k(top_k)
@@ -899,17 +909,19 @@ class GenerationSession:
         done = np.asarray(column[:, 0] == cfg.im_end_id)
 
         steps_left = budget - 1
+        chunk = int(first_chunk_size or self.decode_chunk_size)
         while steps_left > 0 and not done.all():
-            kv_len = self._kv_bucket(int(pos) + self.decode_chunk_size + 1)
+            kv_len = self._kv_bucket(int(pos) + chunk + 1)
             cols, token, self.cache, pos, window, key, _ = decode_chunk(
-                self.params, cfg, scfg, int(self.decode_chunk_size), token,
+                self.params, cfg, scfg, chunk, token,
                 self.cache, pos, window, key, temperature, top_p, top_k,
                 offsets, kv_len,
             )
             cols = np.asarray(cols)[: max(steps_left, 0)]  # (n, B, C+1)
-            steps_left -= self.decode_chunk_size
+            steps_left -= chunk
             columns.extend(cols)
             done = done | (cols[:, :, 0] == cfg.im_end_id).any(axis=0)
+            chunk = int(self.decode_chunk_size)
 
         stacked = np.stack(columns, axis=0)  # (N, B, C+1)
         outputs = []
