@@ -345,11 +345,11 @@ class ContinuousBatcher:
                 by_bucket.setdefault(b, []).append(req)
             for bucket, reqs in sorted(by_bucket.items()):
                 i = 0
-                while i < len(reqs):
-                    # group sizes restricted to {16, 4, 1}: bounds both the
-                    # compile count and resident scratch caches per bucket
-                    rest = len(reqs) - i
-                    k = next(g for g in (16, 4, 1) if g <= rest)
+                for k in self._group_plan(len(reqs)):
+                    # compiled signatures stay {16, 4, 1} per bucket;
+                    # 2-3-request groups ride the padded 4-signature
+                    # (see _prefill_parked) instead of serializing as
+                    # singles — mixed-length bursts produce many pairs
                     group = reqs[i : i + k]
                     i += k
                     _dbg(f"admit_group k={k} bucket={bucket}")
@@ -370,21 +370,48 @@ class ContinuousBatcher:
 
         return admitted
 
+    def _group_plan(self, n: int):
+        """Split n same-bucket requests into admission-group sizes.
+
+        Greedy {16, 4} (bounded by pool size — only those signatures are
+        precompiled per bucket), then the 1-3 remainder as ONE group: a
+        2-3-request group dispatches through the padded 4-signature inside
+        `_prefill_parked`, halving the dispatch count for the pairs that
+        mixed-length bursts produce."""
+        cap = max(self.pool_size, 1)
+        sizes = []
+        for g in (16, 4):
+            if g <= cap:
+                while n >= g:
+                    sizes.append(g)
+                    n -= g
+        if n:
+            if n > 1 and 4 <= cap:
+                sizes.append(n)  # padded to the 4-signature
+            else:
+                sizes.extend([1] * n)
+        return sizes
+
     def _park_group(self, max_rows: int):
-        """Prefill the oldest same-bucket run of overflow requests and PARK
-        the group (no free slots). One group per call."""
+        """Prefill one overflow group and PARK it (no free slots).
+
+        The group gathers the oldest request's BUCKET across the whole
+        overflow list (not just its contiguous prefix): interleaved
+        mixed-length arrivals would otherwise degrade every group to a
+        single row. Per-bucket FIFO is preserved; other buckets wait at
+        most one group. One group per call (interleaves admission
+        prefills with pool decode chunks under sustained burst)."""
         cfg = self.cfg
         bucket = pick_bucket(self._overflow[0].prompt.shape[1], self.cache_len)
-        run = []
-        for req in self._overflow:
-            if pick_bucket(req.prompt.shape[1], self.cache_len) != bucket:
-                break
-            run.append(req)
-            if len(run) >= min(16, max_rows):
-                break
-        k = next(g for g in (16, 4, 1) if g <= len(run))
-        reqs = run[:k]
-        del self._overflow[:k]
+        cap = min(16, max_rows, max(self.pool_size, 1))
+        run_idx = [
+            i for i, req in enumerate(self._overflow)
+            if pick_bucket(req.prompt.shape[1], self.cache_len) == bucket
+        ][:cap]
+        k = self._group_plan(len(run_idx))[0]
+        reqs = [self._overflow[i] for i in run_idx[:k]]
+        for i in reversed(run_idx[:k]):
+            del self._overflow[i]
         _dbg(f"park_group k={k} bucket={bucket}")
         pk = self._prefill_parked(bucket, reqs)
         if pk is not None:
@@ -436,15 +463,30 @@ class ContinuousBatcher:
         else:
             if self.prefix.size:
                 self.prefix.misses += 1
-            inp = np.zeros((k, cfg.num_codebooks + 1, bucket), np.int32)
+            # 2-3-request groups dispatch through the next precompiled
+            # signature {4, 16} with value-preserving dummy rows (t_end=1,
+            # outputs discarded) — same trick _ensure_bucket_compiled uses.
+            # One padded 4-row prefill reads the weights ONCE where two
+            # 1-row prefills would read them twice.
+            ksig = k if k in (1, 4, 16) else (4 if k < 4 else 16)
+            pad = ksig - k
+            if pad:
+                cache = dual_ar.init_kv_cache(cfg, ksig, bucket, self.dtype,
+                                              quant=self.kv_quant)
+                pks = _seed_keys(jnp.asarray(
+                    [r.seed for r in reqs] + [0] * pad, jnp.uint32
+                ))
+            t_sig = np.concatenate([t_ends, np.ones((pad,), np.int32)])
+            inp = np.zeros((ksig, cfg.num_codebooks + 1, bucket), np.int32)
             for j, req in enumerate(reqs):
                 inp[j, :, : t_ends[j]] = req.prompt
+            ones = [1.0] * pad
             column, next_keys, cache = prefill_group_parked(
                 self.params, cfg, scfg, jnp.asarray(inp), cache,
-                jnp.asarray(t_ends), pks,
-                jnp.asarray([r.temperature for r in reqs], jnp.float32),
-                jnp.asarray([r.top_p for r in reqs], jnp.float32),
-                jnp.asarray([r.top_k for r in reqs], jnp.int32),
+                jnp.asarray(t_sig), pks,
+                jnp.asarray([r.temperature for r in reqs] + ones, jnp.float32),
+                jnp.asarray([r.top_p for r in reqs] + ones, jnp.float32),
+                jnp.asarray([r.top_k for r in reqs] + [1] * pad, jnp.int32),
             )
             if self.prefix.size and self.prefix.accepts(reqs[0].prompt):
                 self.prefix.store(
@@ -452,8 +494,8 @@ class ContinuousBatcher:
                     {name: arr[:, :1, :bucket] for name, arr in cache.items()},
                     bucket,
                 )
-        cols = np.asarray(column)
-        nkeys = np.asarray(next_keys)
+        cols = np.asarray(column)[:k]
+        nkeys = np.asarray(next_keys)[:k]
         alive = []
         for j, req in enumerate(reqs):
             req.out.put(cols[j : j + 1])  # first frame, streamed immediately

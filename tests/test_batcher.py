@@ -136,6 +136,57 @@ def test_grouped_admission_matches_solo(batcher):
         np.testing.assert_array_equal(a, b, err_msg=f"request {i}")
 
 
+def test_mixed_length_padded_group_admission():
+    """Mixed-length bursts produce 2-3-request per-bucket groups, which
+    dispatch through the PADDED 4-row signature (`_prefill_parked`) and
+    must produce exactly the outputs of solo admission; `_group_plan`
+    carries the grouping rule."""
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3,
+        max_seq_len=192,
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    b = ContinuousBatcher(
+        params, cfg, SamplingConfig(), pool_size=6, dtype=jnp.float32,
+        decode_chunk_size=4,
+    )
+    try:
+        assert b._group_plan(1) == [1]
+        assert b._group_plan(2) == [2]
+        assert b._group_plan(3) == [3]
+        assert b._group_plan(4) == [4]
+        assert b._group_plan(5) == [4, 1]
+        assert b._group_plan(7) == [4, 3]
+
+        rng = np.random.default_rng(17)
+        prompts = []
+        for t in (6, 9, 70, 11, 75, 66):  # buckets 64 and 128 interleaved
+            p = np.zeros((cfg.num_codebooks + 1, t), dtype=np.int32)
+            p[0] = rng.integers(4, 200, size=t)
+            prompts.append(p)
+
+        solo = [
+            b.generate(p, max_new_tokens=5, seed=90 + i)
+            for i, p in enumerate(prompts)
+        ]
+
+        results = [None] * len(prompts)
+
+        def go(i):
+            results[i] = b.generate(prompts[i], max_new_tokens=5, seed=90 + i)
+
+        threads = [threading.Thread(target=go, args=(i,))
+                   for i in range(len(prompts))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for i, (a, r) in enumerate(zip(solo, results)):
+            np.testing.assert_array_equal(a, r, err_msg=f"request {i}")
+    finally:
+        b.shutdown()
+
+
 def test_burst_overflow_parked_first_frame(batcher):
     """With the pool full, overflow requests are PREFILLED INTO PARKED
     caches: their first frame streams back while the pool is still busy,
