@@ -101,6 +101,10 @@ def _parse():
                              "fragment across prefill buckets and the "
                              "parked path sees realistic mixes; reports "
                              "per-class p50/p90")
+    parser.add_argument("--fuse-ffn", action="store_true",
+                        help="force w13 FFN fusion at serving batch too "
+                             "(default: batch 1 only; the concat's "
+                             "transient copy once OOMed serving configs)")
     parser.add_argument("--check", action="store_true",
                         help="regression guard: after printing the result, "
                              "compare value against the pinned baseline in "
@@ -301,6 +305,7 @@ def run_bench(args):
         params, cfg, SamplingConfig(mask_im_end=True), max_batch=args.batch,
         dtype=dtype, decode_chunk_size=args.chunk,
         first_chunk_size=args.first_chunk, kv_quant=args.kv_int8,
+        fuse_ffn=True if args.fuse_ffn else None,
     )
     # at batch 1 the session holds a fused-w13 copy of the FFN weights;
     # drop our reference so the split originals free before warmup
