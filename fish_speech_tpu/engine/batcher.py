@@ -301,7 +301,7 @@ class ContinuousBatcher:
         """Admit requests into free slots; park burst overflow.
 
         Admissions are PREFILLED IN GROUPS (one batched prefill per prompt
-        bucket, group sizes decomposed into powers of two to bound the
+        bucket, group sizes planned by `_group_plan` to bound the
         compile count): under bursty arrivals, N single-row prefills would
         otherwise serialize against the pool decode and dominate wall time.
         The per-request sampling key depends only on the request seed, so
