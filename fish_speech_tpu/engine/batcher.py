@@ -443,10 +443,10 @@ class ContinuousBatcher:
             entry_bucket = rows["k"].shape[2]
             bucket = (entry_bucket if m + sbucket <= entry_bucket
                       else pick_bucket(m + sbucket, self.cache_len))
-        # fresh cache (NOT shared scratch): the parked entry owns it
-        cache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype,
-                                      quant=self.kv_quant)
         if pre is not None:
+            # fresh cache (NOT shared scratch): the parked entry owns it
+            cache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype,
+                                          quant=self.kv_quant)
             self.prefix.hits += 1
             inp_s = np.zeros((k, cfg.num_codebooks + 1, sbucket), np.int32)
             ts = np.zeros((k,), np.int32)
@@ -470,9 +470,10 @@ class ContinuousBatcher:
             # 1-row prefills would read them twice.
             ksig = k if k in (1, 4, 16) else (4 if k < 4 else 16)
             pad = ksig - k
+            # fresh ksig-row cache (NOT shared scratch): the entry owns it
+            cache = dual_ar.init_kv_cache(cfg, ksig, bucket, self.dtype,
+                                          quant=self.kv_quant)
             if pad:
-                cache = dual_ar.init_kv_cache(cfg, ksig, bucket, self.dtype,
-                                              quant=self.kv_quant)
                 pks = _seed_keys(jnp.asarray(
                     [r.seed for r in reqs] + [0] * pad, jnp.uint32
                 ))
