@@ -101,6 +101,15 @@ def _parse():
                              "fragment across prefill buckets and the "
                              "parked path sees realistic mixes; reports "
                              "per-class p50/p90")
+    parser.add_argument("--train", action="store_true",
+                        help="LoRA finetune throughput on one chip (the "
+                             "realistic single-chip training config: "
+                             "full-model AdamW states need ~60 GB); "
+                             "reports tokens/s through the real jitted "
+                             "train step (dual CE + grads + adamw)")
+    parser.add_argument("--train-batch", type=int, default=2)
+    parser.add_argument("--train-steps", type=int, default=4)
+    parser.add_argument("--lora-r", type=int, default=16)
     parser.add_argument("--fuse-ffn", action="store_true",
                         help="force w13 FFN fusion at serving batch too "
                              "(default: batch 1 only; the concat's "
@@ -132,6 +141,8 @@ def main():
                 run_ttfa(args)
             elif args.burst:
                 run_burst(args)
+            elif args.train:
+                run_train(args)
             else:
                 run_bench(args)
             return
@@ -143,7 +154,15 @@ def main():
                 f"{type(e).__name__}: {str(e)[:200]}",
                 file=sys.stderr,
             )
-            if args.batch > 1:
+            if args.train:
+                # train ladder: shrink the train batch, then fall to tiny
+                if args.train_batch > 1:
+                    args.train_batch = max(args.train_batch // 2, 1)
+                elif not args.small:
+                    args.small = True
+                else:
+                    raise
+            elif args.batch > 1:
                 args.batch = max(args.batch // 2, 1)
             elif not args.small:
                 args.small = True
@@ -397,6 +416,113 @@ def run_bench(args):
     _ = run(ramp + 1, jax.random.PRNGKey(3), first_chunk=fc)
     result["extra"]["first_chunk_s"] = round(time.perf_counter() - t0, 3)
     _emit(result, args)
+
+
+def run_train(args):
+    """Single-chip LoRA finetune throughput through the REAL train step
+    (dual CE loss + top-5 acc + grads + AdamW on the LoRA leaves, remat
+    on, `train/step.make_train_step` — the same program `train.cli`
+    jits). Full-model AdamW would need ~60 GB of optimizer+grad state,
+    so LoRA is the honest single-chip training config; the reference's
+    finetuning story is LoRA-first too (`text2semantic_finetune.yaml`).
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fish_speech_tpu.config import dual_ar_s2_pro, dual_ar_tiny
+    from fish_speech_tpu.models import dual_ar
+    from fish_speech_tpu.models.lora import (LoraConfig, add_lora,
+                                             apply_lora_config, lora_filter)
+    from fish_speech_tpu.train.step import make_optimizer, make_train_step
+
+    if args.small:
+        cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=331,
+                           im_end_id=3)
+        seq = 128
+    else:
+        cfg = dual_ar_s2_pro(
+            semantic_begin_id=151000, semantic_end_id=155095,
+            im_end_id=151000 - 6,
+        )
+        seq = args.max_seq or 1024
+    cfg = dataclasses.replace(cfg, max_seq_len=seq).resolve()
+
+    t0 = time.perf_counter()
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.bfloat16)
+    lcfg = LoraConfig(r=args.lora_r, lora_alpha=16.0)
+    params = add_lora(params, cfg, lcfg, jax.random.PRNGKey(1),
+                      dtype=jnp.bfloat16)
+    cfg = apply_lora_config(cfg, lcfg)  # wires the LoRA path into forward
+    trainable = lora_filter(params)
+    n_params = dual_ar.param_count(params)
+    jax.block_until_ready(params)
+    print(f"# init: {n_params/1e9:.2f}B params (+LoRA r={args.lora_r}) in "
+          f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    opt = make_optimizer(lr=1e-4, params=params, trainable_mask=trainable)
+    opt_state = opt.init(params)
+    # donate params+opt_state: without it every step allocates a second
+    # 10 GB param tree next to the live one — past device memory, the
+    # tunnel backend pages instead of OOMing and each step takes minutes
+    step = jax.jit(make_train_step(cfg, opt, trainable_filter=trainable),
+                   donate_argnums=(0, 1))
+
+    b, t = args.train_batch, seq
+    rng = np.random.default_rng(0)
+    inputs = np.zeros((b, cfg.num_codebooks + 1, t), dtype=np.int32)
+    inputs[:, 0] = rng.integers(10, 1000, size=(b, t))
+    sem = rng.random((b, t)) < 0.6
+    span = cfg.semantic_end_id - cfg.semantic_begin_id + 1
+    for i in range(b):
+        codes = rng.integers(0, cfg.codebook_size, size=(cfg.num_codebooks, t))
+        inputs[i, 0, sem[i]] = cfg.semantic_begin_id + codes[0, sem[i]] % span
+        inputs[i, 1:, sem[i]] = codes[:, sem[i]].T
+    labels = inputs.copy()
+    pad_mask = np.zeros((b, t), dtype=bool)
+    batch = {"inputs": jnp.asarray(inputs), "labels": jnp.asarray(labels),
+             "pad_mask": jnp.asarray(pad_mask)}
+
+    t0 = time.perf_counter()
+    params, opt_state, metrics = step(params, opt_state, batch)
+    jax.block_until_ready(metrics["loss"])
+    print(f"# warmup+compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # synchronous per-step timing: fetch the loss every step (async
+    # enqueue + block-on-last measured dispatch, not execution, through
+    # the device tunnel)
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(args.train_steps):
+        ts = time.perf_counter()
+        params, opt_state, metrics = step(params, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+        print(f"# step {i}: {time.perf_counter()-ts:.2f}s "
+              f"loss={losses[-1]:.4f}", file=sys.stderr)
+    wall = time.perf_counter() - t0
+    tokens_per_s = b * t * args.train_steps / wall
+    assert losses[-1] != losses[0] or args.train_steps < 3, (
+        "loss did not move over the run — LoRA path disconnected?")
+
+    _emit({
+        "metric": "lora_finetune_tokens_per_s",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": 0.0,  # no reference single-chip training baseline
+        "extra": {
+            "steps_per_s": round(args.train_steps / wall, 3),
+            "batch": b,
+            "seq": t,
+            "lora_r": args.lora_r,
+            "loss": round(float(metrics["loss"]), 4),
+            "grad_norm": round(float(metrics["grad_norm"]), 6),
+            "params_b": round(n_params / 1e9, 3),
+            "platform": jax.devices()[0].platform,
+        },
+    }, args)
 
 
 def run_ttfa(args):

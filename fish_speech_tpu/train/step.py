@@ -47,19 +47,39 @@ def make_optimizer(
     betas=(0.9, 0.95),
     grad_clip: Optional[float] = 1.0,
     params=None,
+    trainable_mask=None,
 ):
+    """AdamW + global-norm clip.
+
+    trainable_mask: optional bool pytree (LoRA fine-tuning). When given,
+    AdamW is wrapped in `optax.masked` so its f32 m/v state exists ONLY
+    for trainable leaves — unmasked, a 5B model's optimizer state is
+    ~40 GB and cannot live on a single 16 GB chip even though the frozen
+    weights themselves fit. Frozen leaves pass through (their gradients
+    are already zeroed by the train step, and their updates re-zeroed
+    after, so pass-through is a no-op)."""
     txs = []
     if grad_clip is not None:
         txs.append(optax.clip_by_global_norm(grad_clip))
-    txs.append(
-        optax.adamw(
-            lr,
-            b1=betas[0],
-            b2=betas[1],
-            weight_decay=weight_decay,
-            mask=weight_decay_mask if params is None else weight_decay_mask(params),
+    wd_mask = weight_decay_mask if params is None else weight_decay_mask(params)
+    if trainable_mask is not None and params is not None:
+        # inside optax.masked the inner adamw sees the pruned tree, so its
+        # weight-decay mask must be pruned the same way: keep decay only
+        # where (decayable AND trainable)
+        wd_full = weight_decay_mask(params)
+        wd_mask = jax.tree_util.tree_map(
+            lambda w, t: bool(w and t), wd_full, trainable_mask
         )
+    adamw = optax.adamw(
+        lr,
+        b1=betas[0],
+        b2=betas[1],
+        weight_decay=weight_decay,
+        mask=wd_mask,
     )
+    if trainable_mask is not None:
+        adamw = optax.masked(adamw, trainable_mask)
+    txs.append(adamw)
     return optax.chain(*txs)
 
 
@@ -79,18 +99,60 @@ def make_train_step(cfg: DualARConfig, optimizer, trainable_filter=None,
     (per-microbatch-mean averaging, matching Lightning/DDP semantics).
     """
 
+    def _is_none(x):
+        return x is None
+
+    def _partition(params):
+        """Split params into (trainable, frozen) trees; the other side's
+        leaves become None (empty subtrees). With a filter, autodiff runs
+        ONLY over the trainable side — a full-tree value_and_grad would
+        materialize a params-sized gradient (10 GB on the bf16 flagship,
+        blowing a 16 GB chip past device memory purely to compute leaves
+        the mask zeroes anyway)."""
+        train = jax.tree_util.tree_map(
+            lambda t, p: p if t else None, trainable_filter, params
+        )
+        frozen = jax.tree_util.tree_map(
+            lambda t, p: None if t else p, trainable_filter, params
+        )
+        return train, frozen
+
+    def _combine(train, frozen):
+        return jax.tree_util.tree_map(
+            lambda a, b: b if a is None else a, train, frozen,
+            is_leaf=_is_none,
+        )
+
+    def _expand(grads_train, params):
+        """Trainable-only grads -> full-tree grads (zeros for frozen; XLA
+        folds the zero branches through the masked optimizer)."""
+        return jax.tree_util.tree_map(
+            lambda g, p: jnp.zeros(p.shape, p.dtype) if g is None
+            else g, grads_train, params, is_leaf=_is_none,
+        )
+
     def train_step(params, opt_state, batch):
-        def loss_fn(p, mb):
-            return dual_ar_loss(p, cfg, mb)
+        if trainable_filter is not None:
+            train_p, frozen_p = _partition(params)
+
+            def loss_fn(tp, mb):
+                return dual_ar_loss(_combine(tp, frozen_p), cfg, mb)
+
+            diff_arg = train_p
+        else:
+            def loss_fn(p, mb):
+                return dual_ar_loss(p, cfg, mb)
+
+            diff_arg = params
 
         if grad_accum == 1:
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(params, batch)
+            )(diff_arg, batch)
         else:
             def body(gsum, mb):
                 (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, mb
+                    diff_arg, mb
                 )
                 gsum = jax.tree_util.tree_map(
                     lambda a, b: a + b.astype(jnp.float32), gsum, g
@@ -98,17 +160,15 @@ def make_train_step(cfg: DualARConfig, optimizer, trainable_filter=None,
                 return gsum, dict(m)
 
             gz = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params
+                lambda p: jnp.zeros(p.shape, jnp.float32), diff_arg
             )
             gsum, ms = jax.lax.scan(body, gz, batch)
             grads = jax.tree_util.tree_map(
-                lambda g, p: (g / grad_accum).astype(p.dtype), gsum, params
+                lambda g, p: (g / grad_accum).astype(p.dtype), gsum, diff_arg
             )
             metrics = {k: jnp.mean(v) for k, v in ms.items()}
         if trainable_filter is not None:
-            grads = jax.tree_util.tree_map(
-                lambda g, t: g if t else jnp.zeros_like(g), grads, trainable_filter
-            )
+            grads = _expand(grads, params)
         grads_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         if trainable_filter is not None:

@@ -118,6 +118,9 @@ class Trainer:
             betas=train_cfg.betas,
             grad_clip=train_cfg.grad_clip,
             params=params,
+            # LoRA: AdamW m/v only for trainable leaves (full f32 state for
+            # the flagship is ~40 GB — does not fit a single chip)
+            trainable_mask=trainable,
         )
 
         # mesh sharding (dp x tp); single-device works through the same path

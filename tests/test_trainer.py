@@ -105,6 +105,58 @@ def test_trainer_end_to_end_with_resume(tokenizer, tmp_path):
     assert trainer2.step == 6
 
 
+def test_lora_optimizer_state_only_for_trainable(tokenizer):
+    """LoRA fine-tuning must NOT allocate AdamW m/v for frozen leaves:
+    full f32 optimizer state for the 5B flagship is ~40 GB and cannot
+    live on a single 16 GB chip (this OOMed `bench.py --train` before
+    `make_optimizer(trainable_mask=...)`). Frozen leaves must hold optax
+    MaskedNode placeholders, trainable leaves real f32 moments."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fish_speech_tpu.models import dual_ar
+    from fish_speech_tpu.models.lora import LoraConfig, add_lora, lora_filter
+    from fish_speech_tpu.train.step import make_optimizer
+
+    cfg = make_cfg(tokenizer)
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.bfloat16)
+    params = add_lora(params, cfg, LoraConfig(r=4, lora_alpha=8.0), jax.random.PRNGKey(1),
+                      dtype=jnp.bfloat16)
+    trainable = lora_filter(params)
+    opt = make_optimizer(lr=1e-4, params=params, trainable_mask=trainable)
+    state = opt.init(params)
+
+    n_total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    n_train = sum(
+        p.size
+        for p, t in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(trainable),
+        )
+        if t
+    )
+    # moment arrays in the state must cover exactly the trainable leaves
+    state_elems = sum(
+        x.size
+        for x in jax.tree_util.tree_leaves(state)
+        if hasattr(x, "size") and getattr(x, "ndim", 0) > 0
+    )
+    assert n_train < n_total / 10  # LoRA is a small fraction
+    assert state_elems <= 2 * n_train + 16, (
+        f"optimizer state holds {state_elems} elements for "
+        f"{n_train} trainable params — frozen leaves got moments"
+    )
+    # and a step still runs (mask plumbing is consistent)
+    from fish_speech_tpu.train.step import make_train_step
+
+    step = jax.jit(make_train_step(cfg, opt, trainable_filter=trainable))
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg).items()}
+    params2, state2, metrics = step(params, state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_lora_training_only_updates_lora(tokenizer, tmp_path):
     cfg = make_cfg(tokenizer)
     tcfg = TrainConfig(
