@@ -146,6 +146,11 @@ def main():
             else:
                 run_bench(args)
             return
+        except AssertionError:
+            # correctness diagnostics (e.g. "loss did not move") are not
+            # resource failures — retrying smaller would mask the bug
+            # behind a multi-minute recompile; surface them immediately
+            raise
         except Exception as e:  # robustness for the unattended driver run:
             # OOM or compile failure at the serving config must still
             # produce a benchmark line — retry down the ladder.

@@ -114,15 +114,22 @@ class _Parked:
     `insert_parked_rows` without re-prefilling.
     """
 
-    cache: dict  # (L, k, bucket, H, D)
+    cache: dict  # (L, ksig, bucket, H, D)
     reqs: List["BatchRequest"]
     t_ends: np.ndarray
     cols: np.ndarray  # (k, C+1) first sampled columns
     nkeys: np.ndarray  # (k, 2)
     alive: List[bool]
+    rows_alloc: int  # ALLOCATED cache rows (>= len(reqs): padded signature)
 
     def pending_rows(self) -> List[int]:
         return [i for i, a in enumerate(self.alive) if a]
+
+
+def _alloc_rows(k: int) -> int:
+    """Cache rows a k-request admission group actually allocates: the
+    nearest precompiled prefill signature {1, 4, 16} at or above k."""
+    return k if k in (1, 4, 16) else (4 if k < 4 else 16)
 
 
 @dataclass
@@ -231,7 +238,14 @@ class ContinuousBatcher:
         # (bounded device memory: at most park_max_rows parked KV rows)
         self.parked: List[_Parked] = []
         self._worker_error: Optional[BaseException] = None
-        self.park_max_rows = pool_size
+        # HARD bound on ALLOCATED parked cache rows (a partially-drained
+        # or padded entry holds its full ksig-row cache until it drains).
+        # 2x pool: parked rows live at prompt-sized buckets (64-1024),
+        # far smaller than the pool's full-context rows, so this stays
+        # well under the pool's own KV footprint — and matches the
+        # worst-case ceiling the old pending-row accounting could
+        # silently reach via padded caches, now enforced instead.
+        self.park_max_rows = 2 * pool_size
         self._overflow: List[BatchRequest] = []  # FIFO, drained from pending
         self._compiled_buckets = set()
         self.pending: "queue.Queue[BatchRequest]" = queue.Queue()
@@ -363,8 +377,11 @@ class ContinuousBatcher:
             admitted = True
 
         # 3. park ONE overflow group per call (interleaves admission
-        #    prefills with pool decode chunks under sustained burst)
-        parked_rows = sum(len(pk.pending_rows()) for pk in self.parked)
+        #    prefills with pool decode chunks under sustained burst).
+        #    The budget counts ALLOCATED cache rows (a padded 2-3-request
+        #    group owns a 4-row cache), so parked device memory stays
+        #    bounded by park_max_rows regardless of group fragmentation.
+        parked_rows = sum(pk.rows_alloc for pk in self.parked)
         if self._overflow and parked_rows < self.park_max_rows:
             self._park_group(self.park_max_rows - parked_rows)
 
@@ -409,6 +426,11 @@ class ContinuousBatcher:
             if pick_bucket(req.prompt.shape[1], self.cache_len) == bucket
         ][:cap]
         k = self._group_plan(len(run_idx))[0]
+        if _alloc_rows(k) > max_rows:
+            # the padded signature would overshoot the remaining parked-row
+            # budget (e.g. a 2-request group riding the 4-signature with
+            # only 2 rows left); shrink to the largest size that fits
+            k = max(g for g in (16, 4, 1) if g <= max_rows)
         reqs = [self._overflow[i] for i in run_idx[:k]]
         for i in reversed(run_idx[:k]):
             del self._overflow[i]
@@ -427,8 +449,23 @@ class ContinuousBatcher:
         cfg, scfg = self.cfg, self.scfg
         self._ensure_bucket_compiled(bucket)
         k = len(reqs)
+        # 2-3-request groups dispatch through the next precompiled
+        # signature {4, 16} with value-preserving dummy rows (t_end=1,
+        # temperature/top_p 1.0, top_k 1, outputs discarded) — same trick
+        # _ensure_bucket_compiled uses. One padded 4-row prefill reads the
+        # weights ONCE where two 1-row prefills would read them twice, and
+        # BOTH the miss and prefix-hit branches stay on the {1, 4, 16}
+        # row-count signatures.
+        ksig, pad = _alloc_rows(k), _alloc_rows(k) - k
         t_ends = np.asarray([req.prompt.shape[1] for req in reqs], np.int32)
-        pks = _seed_keys(jnp.asarray([r.seed for r in reqs], jnp.uint32))
+        pks = _seed_keys(jnp.asarray(
+            [r.seed for r in reqs] + [0] * pad, jnp.uint32
+        ))
+        ones = [1.0] * pad
+        temps = jnp.asarray(
+            [r.temperature for r in reqs] + ones, jnp.float32)
+        top_ps = jnp.asarray([r.top_p for r in reqs] + ones, jnp.float32)
+        top_ks = jnp.asarray([r.top_k for r in reqs] + [1] * pad, jnp.int32)
         pre = self._group_prefix(reqs, bucket)
         if pre is not None:
             # The scratch must hold (a) the FULL stored rows (the restore
@@ -443,51 +480,32 @@ class ContinuousBatcher:
             entry_bucket = rows["k"].shape[2]
             bucket = (entry_bucket if m + sbucket <= entry_bucket
                       else pick_bucket(m + sbucket, self.cache_len))
+        # fresh ksig-row cache (NOT shared scratch): the entry owns it
+        cache = dual_ar.init_kv_cache(cfg, ksig, bucket, self.dtype,
+                                      quant=self.kv_quant)
         if pre is not None:
-            # fresh cache (NOT shared scratch): the parked entry owns it
-            cache = dual_ar.init_kv_cache(cfg, k, bucket, self.dtype,
-                                          quant=self.kv_quant)
             self.prefix.hits += 1
-            inp_s = np.zeros((k, cfg.num_codebooks + 1, sbucket), np.int32)
-            ts = np.zeros((k,), np.int32)
+            inp_s = np.zeros((ksig, cfg.num_codebooks + 1, sbucket),
+                             np.int32)
+            ts = np.ones((ksig,), np.int32)  # pad rows: one zero token
             for j, req in enumerate(reqs):
                 ts[j] = req.prompt.shape[1] - m
                 inp_s[j, :, : ts[j]] = req.prompt[:, m:]
             column, next_keys, cache = prefill_group_parked_suffix(
                 self.params, cfg, scfg, jnp.asarray(inp_s), cache, rows,
                 jnp.int32(m), jnp.asarray(ts), bucket, pks,
-                jnp.asarray([r.temperature for r in reqs], jnp.float32),
-                jnp.asarray([r.top_p for r in reqs], jnp.float32),
-                jnp.asarray([r.top_k for r in reqs], jnp.int32),
+                temps, top_ps, top_ks,
             )
         else:
             if self.prefix.size:
                 self.prefix.misses += 1
-            # 2-3-request groups dispatch through the next precompiled
-            # signature {4, 16} with value-preserving dummy rows (t_end=1,
-            # outputs discarded) — same trick _ensure_bucket_compiled uses.
-            # One padded 4-row prefill reads the weights ONCE where two
-            # 1-row prefills would read them twice.
-            ksig = k if k in (1, 4, 16) else (4 if k < 4 else 16)
-            pad = ksig - k
-            # fresh ksig-row cache (NOT shared scratch): the entry owns it
-            cache = dual_ar.init_kv_cache(cfg, ksig, bucket, self.dtype,
-                                          quant=self.kv_quant)
-            if pad:
-                pks = _seed_keys(jnp.asarray(
-                    [r.seed for r in reqs] + [0] * pad, jnp.uint32
-                ))
             t_sig = np.concatenate([t_ends, np.ones((pad,), np.int32)])
             inp = np.zeros((ksig, cfg.num_codebooks + 1, bucket), np.int32)
             for j, req in enumerate(reqs):
                 inp[j, :, : t_ends[j]] = req.prompt
-            ones = [1.0] * pad
             column, next_keys, cache = prefill_group_parked(
                 self.params, cfg, scfg, jnp.asarray(inp), cache,
-                jnp.asarray(t_sig), pks,
-                jnp.asarray([r.temperature for r in reqs] + ones, jnp.float32),
-                jnp.asarray([r.top_p for r in reqs] + ones, jnp.float32),
-                jnp.asarray([r.top_k for r in reqs] + [1] * pad, jnp.int32),
+                jnp.asarray(t_sig), pks, temps, top_ps, top_ks,
             )
             if self.prefix.size and self.prefix.accepts(reqs[0].prompt):
                 self.prefix.store(
@@ -511,7 +529,8 @@ class ContinuousBatcher:
         if not any(alive):
             return None
         return _Parked(cache=cache, reqs=list(reqs), t_ends=t_ends,
-                       cols=cols, nkeys=nkeys, alive=alive)
+                       cols=cols, nkeys=nkeys, alive=alive,
+                       rows_alloc=ksig)
 
     def _group_prefix(self, reqs, bucket: int):
         """Shared-prefix lookup for an admission group.

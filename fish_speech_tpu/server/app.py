@@ -417,12 +417,16 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
             )
             return _negotiated_response(request, resp, status=404)
 
+    # built lazily in a closure (NOT stored on `app`: aiohttp forbids
+    # mutating application state after startup freezes it)
+    _spec_cache = []
+
     async def openapi_json(request):
         from fish_speech_tpu.server.openapi import build_spec
 
-        if "openapi_spec" not in app:
-            app["openapi_spec"] = build_spec()
-        return web.json_response(app["openapi_spec"])
+        if not _spec_cache:
+            _spec_cache.append(build_spec())
+        return web.json_response(_spec_cache[0])
 
     async def docs(request):
         from fish_speech_tpu.server.openapi import DOCS_HTML

@@ -169,6 +169,13 @@ def build_spec(version: str = "1.0.0") -> dict:
                 "responses": {"200": _json_resp("formats: [...]")},
             }
         },
+        "/v1/openapi.json": {
+            "get": {
+                "summary": "This document",
+                "security": [],  # served without auth so /docs can load it
+                "responses": {"200": _json_resp("OpenAPI 3.1 spec")},
+            }
+        },
     }
 
     return {
@@ -179,6 +186,10 @@ def build_spec(version: str = "1.0.0") -> dict:
             "description": "TPU-native TTS serving API (wire-compatible "
             "with the reference Fish Speech API).",
         },
+        # every /v1 operation (except openapi.json, overridden above)
+        # requires the bearer token WHEN the server runs with --api-key;
+        # generated clients must send Authorization to avoid 401s
+        "security": [{"bearerAuth": []}],
         "paths": paths,
         "components": {
             "schemas": components,

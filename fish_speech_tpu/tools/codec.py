@@ -62,7 +62,7 @@ def main(input_path, output_path, checkpoint_path, cpu):
             f"Saved code matrix {out.shape} -> "
             f"{output_path.with_suffix('.npy')}", err=True,
         )
-    elif input_path.suffix == ".npy":
+    elif input_path.suffix.lower() == ".npy":
         indices = np.load(input_path)
         if indices.ndim != 2:
             raise click.ClickException(

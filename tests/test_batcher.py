@@ -327,10 +327,13 @@ def test_kv_quant_pool():
         b.shutdown()
 
 
-def test_group_admission_prefix_cache_matches_cold():
+@pytest.mark.parametrize("pool_size", [2, 6])
+def test_group_admission_prefix_cache_matches_cold(pool_size):
     """Same-speaker burst: the second wave's group admission restores the
     stored prefix and suffix-prefills — outputs must be IDENTICAL to a
-    prefix-cache-off batcher for the same seeds (f32 path)."""
+    prefix-cache-off batcher for the same seeds (f32 path). pool_size=2
+    admits hits row by row; pool_size=6 forms a 3-request group, which
+    rides the PADDED 4-row hit signature (pad rows value-preserving)."""
     cfg = dual_ar_tiny(
         semantic_begin_id=300, semantic_end_id=331, im_end_id=3, max_seq_len=512
     )
@@ -347,8 +350,8 @@ def test_group_admission_prefix_cache_matches_cold():
     results = {}
     for name, pcs in (("cold", 0), ("warm", 3)):
         b = ContinuousBatcher(
-            params, cfg, SamplingConfig(), pool_size=2, dtype=jnp.float32,
-            decode_chunk_size=4, prefix_cache_size=pcs,
+            params, cfg, SamplingConfig(), pool_size=pool_size,
+            dtype=jnp.float32, decode_chunk_size=4, prefix_cache_size=pcs,
         )
         try:
             outs = {}
@@ -454,5 +457,86 @@ def test_prefix_hit_smaller_than_stored_bucket():
         finally:
             b2.shutdown()
         np.testing.assert_array_equal(out, ref)
+    finally:
+        b.shutdown()
+
+
+def test_park_group_respects_allocated_row_budget():
+    """Parked device memory is bounded by ALLOCATED cache rows, not request
+    count: a padded 2-request group owns a 4-row cache, so with only 2
+    budget rows left `_park_group` must shrink to singles instead of
+    overshooting park_max_rows (round-3 review finding)."""
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3, max_seq_len=128
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    b = ContinuousBatcher(
+        params, cfg, SamplingConfig(), pool_size=6, dtype=jnp.float32,
+        decode_chunk_size=4,
+    )
+    try:
+        b.shutdown()  # drive the admission internals single-threaded
+
+        def reqs(n, seed0):
+            return [
+                BatchRequest(prompt=random_prompt(cfg, 10), max_new_tokens=4,
+                             seed=seed0 + i)
+                for i in range(n)
+            ]
+
+        # budget 2: the pair would pad to a 4-row cache -> shrink to one
+        b._overflow = reqs(2, 0)
+        b._park_group(max_rows=2)
+        assert len(b.parked) == 1
+        assert b.parked[0].rows_alloc == 1 and len(b.parked[0].reqs) == 1
+        assert len(b._overflow) == 1  # the second request waits its turn
+
+        # full budget: the pair rides the padded 4-row signature as one group
+        b._overflow = reqs(2, 10)
+        b._park_group(max_rows=6)
+        assert b.parked[-1].rows_alloc == 4 and len(b.parked[-1].reqs) == 2
+        # _admit's budget check sums ALLOCATED rows (1 + 4, not 1 + 2)
+        assert sum(pk.rows_alloc for pk in b.parked) == 5
+    finally:
+        b.shutdown()
+
+
+def test_prefix_hit_group_pads_to_compiled_signature():
+    """A 2-request group that HITS the prefix cache must allocate its cache
+    at a precompiled row signature {1, 4, 16} — the unpadded k=2 hit path
+    used to create fresh jit signatures mid-burst (round-3 review
+    finding)."""
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3, max_seq_len=512
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    b = ContinuousBatcher(
+        params, cfg, SamplingConfig(), pool_size=6, dtype=jnp.float32,
+        decode_chunk_size=4, prefix_cache_size=2,
+    )
+    try:
+        b.shutdown()  # drive _prefill_parked directly (no worker races)
+        shared = random_prompt(cfg, 150, np.random.default_rng(7))
+
+        def req(i):
+            tail = random_prompt(cfg, 8 + i, np.random.default_rng(40 + i))
+            return BatchRequest(
+                prompt=np.concatenate([shared, tail], axis=1),
+                max_new_tokens=4, seed=i,
+            )
+
+        from fish_speech_tpu.engine.batcher import pick_bucket
+
+        r0 = req(0)
+        bucket = pick_bucket(r0.prompt.shape[1], b.cache_len)
+        pk = b._prefill_parked(bucket, [r0])  # miss: stores the prefix
+        assert len(b.prefix) == 1 and pk is not None and pk.rows_alloc == 1
+
+        pair = [req(1), req(2)]
+        pk2 = b._prefill_parked(bucket, pair)  # 2-request HIT
+        assert b.prefix.hits == 1
+        assert pk2 is not None and len(pk2.reqs) == 2
+        assert pk2.rows_alloc == 4  # padded to the compiled signature
+        assert pk2.cache["k"].shape[1] == 4
     finally:
         b.shutdown()

@@ -23,7 +23,19 @@ import pytest
 pytestmark = pytest.mark.slow
 
 _WORKER = Path(__file__).parent / "multihost_worker.py"
-_PORT = "19377"
+
+
+def _free_port() -> str:
+    """OS-assigned ephemeral port: two concurrent test runs on one host
+    must not target the same coordinator address."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
+_PORT = _free_port()
 
 
 def _run_workers():
