@@ -22,7 +22,7 @@ import random
 import threading
 from dataclasses import dataclass
 from pathlib import Path
-from queue import Queue
+from queue import Full, Queue
 from random import Random
 from typing import Iterator, List, Optional, Sequence
 
@@ -324,18 +324,32 @@ class DataLoader:
         queue: Queue = Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # a plain blocking put can wedge the producer FOREVER when the
+            # consumer abandons the iterator with the queue full (stop is
+            # only checked between puts) — leaking the thread and its
+            # prefetched batches; re-check stop while waiting instead
+            while not stop.is_set():
+                try:
+                    queue.put(item, timeout=0.2)
+                    return True
+                except Full:
+                    pass
+            return False
+
         def producer():
             it = iter(self.dataset)
             try:
                 while not stop.is_set():
                     batch = [next(it) for _ in range(self.batch_size)]
-                    queue.put(self.collate_fn(batch))
+                    if not put(self.collate_fn(batch)):
+                        return  # consumer gone; skip the sentinel too
             except StopIteration:
                 pass
-            finally:
-                queue.put(None)
+            put(None)
 
-        thread = threading.Thread(target=producer, daemon=True)
+        thread = threading.Thread(target=producer, daemon=True,
+                                  name="dataloader-producer")
         thread.start()
         try:
             while True:

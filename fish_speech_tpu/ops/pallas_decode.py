@@ -149,8 +149,8 @@ def flash_decode_attention(q, k_all, v_all, layer, lengths, block_s: int = 256,
                     (1, hkv, gp, d), lambda b_, sc: (b_, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # k_all stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # v_all
+                pl.BlockSpec(memory_space=pl.ANY),  # k_all stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # v_all
             ],
             out_specs=pl.BlockSpec(
                 (1, hkv, gp, d), lambda b_, sc: (b_, 0, 0, 0),

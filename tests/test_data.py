@@ -170,3 +170,35 @@ def test_dataset_native_matches_protobuf_path(tmp_path, tokenizer):
         sa, sb = next(ia), next(ib)
         np.testing.assert_array_equal(sa["tokens"], sb["tokens"])
         np.testing.assert_array_equal(sa["labels"], sb["labels"])
+
+
+def test_dataloader_producer_exits_when_consumer_abandons():
+    """Breaking out of a DataLoader iterator mid-epoch must terminate the
+    producer thread: a blocking queue.put with the prefetch queue full
+    used to wedge it forever (leaking the thread + prefetched batches;
+    regression from a round-3 full-suite crash dump)."""
+    import threading
+    import time
+
+    from fish_speech_tpu.data.dataset import DataLoader
+
+    class Infinite:
+        def __iter__(self):
+            i = 0
+            while True:
+                yield i
+                i += 1
+
+    loader = DataLoader(Infinite(), 4, collate_fn=list, prefetch=2)
+    it = iter(loader)
+    next(it)  # producer now races ahead and blocks on the full queue
+    it.close()  # abandon: generator finally sets stop
+
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        alive = [t for t in threading.enumerate()
+                 if t.name == "dataloader-producer" and t.is_alive()]
+        if not alive:
+            break
+        time.sleep(0.05)
+    assert not alive, "producer thread leaked after consumer abandoned"
