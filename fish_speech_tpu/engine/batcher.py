@@ -142,6 +142,10 @@ class BatchRequest:
     seed: int = 42
     # output stream: np arrays of shape (n, C+1) per chunk, then None
     out: "queue.Queue" = field(default_factory=queue.Queue)
+    # client-gone signal: the worker reaps the request at the next chunk
+    # boundary (slot freed, queue terminated) instead of decoding the rest
+    # of the budget for nobody
+    cancelled: threading.Event = field(default_factory=threading.Event)
 
 
 class BatcherSession:
@@ -171,7 +175,12 @@ class BatcherSession:
     def generate_stream(self, prompt, key, max_new_tokens=0, temperature=1.0,
                         top_p=0.9, top_k=30, **_):
         """Yield CUMULATIVE (C+1, n) columns as the pool emits this
-        request's chunks (same contract as GenerationSession.generate_stream)."""
+        request's chunks (same contract as GenerationSession.generate_stream).
+
+        Closing the generator early (consumer gone: HTTP client dropped,
+        engine-level cancel) marks the request cancelled so the pool frees
+        its slot at the next chunk boundary instead of decoding the rest of
+        the budget for nobody."""
         req = BatchRequest(
             prompt=prompt, max_new_tokens=max_new_tokens,
             temperature=temperature, top_p=top_p, top_k=top_k,
@@ -179,16 +188,24 @@ class BatcherSession:
         )
         out = self.batcher.submit(req)
         chunks = []
-        while True:
-            item = out.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise RuntimeError("batcher worker failed") from item
-            chunks.append(item)
-            yield np.concatenate(chunks, axis=0).T
-        if not chunks:
-            yield np.zeros((self.cfg.num_codebooks + 1, 0), np.int32)
+        done = False
+        try:
+            while True:
+                item = out.get()
+                if item is None:
+                    done = True
+                    break
+                if isinstance(item, BaseException):
+                    done = True
+                    raise RuntimeError("batcher worker failed") from item
+                chunks.append(item)
+                yield np.concatenate(chunks, axis=0).T
+            if not chunks:
+                yield np.zeros((self.cfg.num_codebooks + 1, 0), np.int32)
+        finally:
+            if not done:
+                req.cancelled.set()
+                self.batcher._wake.set()
 
 
 class ContinuousBatcher:
@@ -287,6 +304,18 @@ class ContinuousBatcher:
             return np.zeros((self.cfg.num_codebooks + 1, 0), np.int32)
         return np.concatenate(chunks, axis=0).T
 
+    def stats(self) -> dict:
+        """Point-in-time pool observability (served by /v1/metrics).
+        Reads are unsynchronized snapshots — fine for metrics."""
+        parked = list(self.parked)
+        return {
+            "pool_size": self.pool_size,
+            "active_slots": sum(1 for s in self.slots if s.active),
+            "queued": self.pending.qsize() + len(self._overflow),
+            "parked_rows": sum(len(pk.pending_rows()) for pk in parked),
+            "worker_alive": self.thread.is_alive(),
+        }
+
     def shutdown(self):
         self._stop.set()
         self._wake.set()
@@ -304,6 +333,33 @@ class ContinuousBatcher:
                 req.out.put(None)
                 continue
             self._overflow.append(req)
+
+    def _reap_cancelled(self):
+        """Free resources of requests whose client is gone: active slots
+        (pool row deactivated), queued overflow, and parked rows. Each
+        reaped queue is terminated with None. Runs in the worker thread at
+        every admission pass, so a cancel takes effect within one chunk."""
+        for i, s in enumerate(self.slots):
+            if s.active and s.request is not None and s.request.cancelled.is_set():
+                _dbg(f"reap_slot {i}")
+                s.request.out.put(None)
+                s.active = False
+                s.request = None
+                self.active = self.active.at[i].set(False)
+        if self._overflow:
+            keep = []
+            for req in self._overflow:
+                if req.cancelled.is_set():
+                    req.out.put(None)
+                else:
+                    keep.append(req)
+            self._overflow = keep
+        for pk in self.parked:
+            for j, req in enumerate(pk.reqs):
+                if pk.alive[j] and req.cancelled.is_set():
+                    pk.alive[j] = False
+                    req.out.put(None)
+        self.parked = [pk for pk in self.parked if pk.pending_rows()]
 
     def _request_budget(self, req: "BatchRequest", t: int) -> int:
         cfg = self.cfg
@@ -329,6 +385,7 @@ class ContinuousBatcher:
         predate everything in the overflow list.
         """
         self._drain_pending()
+        self._reap_cancelled()
         free = [i for i, s in enumerate(self.slots) if not s.active]
         admitted = False
 

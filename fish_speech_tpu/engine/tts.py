@@ -62,6 +62,9 @@ class TTSRequest:
     repetition_penalty: float = 1.1
     temperature: float = 0.8
     top_k: int = 30
+    # optional () -> bool polled between decode chunks; True abandons the
+    # request (server wires the client-disconnect event here)
+    cancel_check: Optional[callable] = None
 
 
 class TTSInferenceEngine:
@@ -197,7 +200,10 @@ class TTSInferenceEngine:
                         req.streaming
                         and not getattr(self.session, "concurrent", False)
                     ),
+                    cancel_check=req.cancel_check,
                 ):
+                    if req.cancel_check is not None and req.cancel_check():
+                        return
                     if response.action == "partial":
                         # per-decode-chunk streaming: decode the cumulative
                         # prefix (the codec is causal, so earlier samples are
@@ -237,6 +243,8 @@ class TTSInferenceEngine:
             yield InferenceResult(code="error", audio=None, error=e)
             return
 
+        if req.cancel_check is not None and req.cancel_check():
+            return  # abandoned by the client: no error, no final
         if not segments:
             yield InferenceResult(
                 code="error",

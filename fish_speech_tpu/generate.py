@@ -1038,6 +1038,7 @@ def generate_long(
     logger=None,
     stream_partials: bool = False,
     device_partials: bool = False,
+    cancel_check=None,
 ) -> Generator[GenerateResponse, None, None]:
     """Chunked long-form generation: split text on speaker tags, batch turns,
     generate sequentially, carrying generated codes forward as conversation
@@ -1052,7 +1053,12 @@ def generate_long(
     device_partials (with stream_partials): partial responses carry the
     cumulative codes as DEVICE arrays yielded before any host sync, plus a
     `valid_frames` callable that fetches/trims; a codec consumer dispatches
-    its decode pipelined behind the LM step (the low-TTFA path)."""
+    its decode pipelined behind the LM step (the low-TTFA path).
+
+    cancel_check: optional () -> bool polled between decode chunks (and
+    between text segments); returning True abandons generation early — the
+    serving path wires a client-disconnect event here so a dropped request
+    stops consuming device time at chunk granularity."""
     assert 0 < top_p <= 1, "top_p must be in (0, 1]"
     assert 0 < temperature < 2, "temperature must be in (0, 2)"
 
@@ -1100,6 +1106,8 @@ def generate_long(
 
             t0 = time.perf_counter()
             key, gk = jax.random.split(key)
+            if cancel_check is not None and cancel_check():
+                return
             if stream_partials and device_partials:
                 last = None
                 for last in session.generate_stream(
@@ -1107,6 +1115,8 @@ def generate_long(
                     temperature=temperature, top_p=top_p, top_k=top_k,
                     device_partials=True,
                 ):
+                    if cancel_check is not None and cancel_check():
+                        return
                     yield GenerateResponse(
                         action="partial",
                         codes=last.device_cols[1:],
@@ -1128,6 +1138,8 @@ def generate_long(
                     encoded, gk, max_new_tokens=max_new_tokens,
                     temperature=temperature, top_p=top_p, top_k=top_k,
                 ):
+                    if cancel_check is not None and cancel_check():
+                        return
                     n_p = seq.shape[1]
                     end_p = (
                         n_p - 1
@@ -1140,6 +1152,18 @@ def generate_long(
                             codes=np.ascontiguousarray(seq[1:, :end_p]),
                             text=batch_text,
                         )
+            elif cancel_check is not None:
+                # non-streaming but cancellable: drive the chunked stream
+                # (the exact loop session.generate runs) so the poll fires
+                # between decode chunks, not only between text segments
+                seq = None
+                for seq in session.generate_stream(
+                    encoded, gk, max_new_tokens=max_new_tokens,
+                    temperature=temperature, top_p=top_p, top_k=top_k,
+                    pipeline_lookahead=getattr(session, "pipeline_lookahead", 0),
+                ):
+                    if cancel_check():
+                        return
             else:
                 seq = session.generate(
                     encoded, gk, max_new_tokens=max_new_tokens,

@@ -13,6 +13,7 @@ Endpoint and wire-format parity with the reference server
   DELETE /v1/references/delete
   POST /v1/references/update
   GET  /v1/formats              {formats: [...]} actual encoder backends
+  GET  /v1/metrics              request counters + in-flight + pool state
   GET  /v1/openapi.json         OpenAPI 3.1 spec built from the pydantic
                                 models (open under auth; /docs needs it)
   GET  /docs                    self-contained API docs viewer (no CDN)
@@ -30,6 +31,7 @@ from __future__ import annotations
 import asyncio
 import io
 import logging
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -174,16 +176,40 @@ def _render_ui_html() -> str:
 
 
 def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
-               max_text_length: int = 0) -> web.Application:
+               max_text_length: int = 0,
+               max_inflight: int = 0) -> web.Application:
     app = web.Application(
         middlewares=[make_auth_middleware(api_key), error_middleware],
         client_max_size=256 * 1024 * 1024,
     )
     app["engine"] = engine
     app["max_text_length"] = max_text_length
+    # backpressure: >0 caps concurrent /v1/tts requests; excess gets 503
+    # immediately instead of queueing unboundedly behind the device
+    app["max_inflight"] = max_inflight
+    app["inflight"] = 0
+    app["metrics"] = {
+        "requests_total": 0,
+        "completed": 0,
+        "cancelled": 0,
+        "errors": 0,
+        "rejected": 0,
+    }
 
     async def health(request):
         return web.json_response({"status": "ok"})
+
+    async def metrics(request):
+        """Point-in-time serving observability: request counters, in-flight
+        count, and (under a pooled engine) continuous-batcher pool state.
+        The reference exposes no metrics endpoint; SGLang-style serving
+        stacks do, and operators need it to drive autoscaling/alerting."""
+        m = dict(app["metrics"])
+        m["inflight"] = app["inflight"]
+        batcher = getattr(getattr(engine, "session", None), "batcher", None)
+        if batcher is not None:
+            m["pool"] = batcher.stats()
+        return web.json_response(m)
 
     async def ui(request):
         return web.Response(text=_render_ui_html(), content_type="text/html")
@@ -237,56 +263,89 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
             temperature=req_model.temperature,
         )
 
+        if app["max_inflight"] > 0 and app["inflight"] >= app["max_inflight"]:
+            app["metrics"]["rejected"] += 1
+            return web.json_response(
+                {"error": "server overloaded, retry later"},
+                status=503,
+                headers={"Retry-After": "1"},
+            )
+
+        # Client-disconnect cancellation: aiohttp cancels this handler task
+        # when the peer drops, raising CancelledError at the next await; the
+        # finally sets the event, the worker loop stops forwarding, and the
+        # engine/batcher poll the event between decode chunks — an abandoned
+        # request stops consuming device time at chunk granularity instead
+        # of decoding its whole budget for nobody.
+        cancel_ev = threading.Event()
+        ereq.cancel_check = cancel_ev.is_set
+
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
 
         def worker():
             try:
                 for result in engine.inference(ereq):
+                    if cancel_ev.is_set():
+                        break
                     loop.call_soon_threadsafe(queue.put_nowait, result)
             finally:
                 loop.call_soon_threadsafe(queue.put_nowait, None)
 
-        fut = loop.run_in_executor(None, worker)
+        app["metrics"]["requests_total"] += 1
+        app["inflight"] += 1
+        outcome = "cancelled"  # overwritten unless the handler is abandoned
+        try:
+            fut = loop.run_in_executor(None, worker)
 
-        if ereq.streaming:
-            response = web.StreamResponse(
-                headers={
-                    "Content-Type": "audio/wav",
-                    "Content-Disposition": "attachment; filename=audio.wav",
-                }
-            )
-            await response.prepare(request)
+            if ereq.streaming:
+                response = web.StreamResponse(
+                    headers={
+                        "Content-Type": "audio/wav",
+                        "Content-Disposition": "attachment; filename=audio.wav",
+                    }
+                )
+                await response.prepare(request)
+                while True:
+                    result = await queue.get()
+                    if result is None:
+                        break
+                    if result.code == "header":
+                        await response.write(result.audio[1].tobytes())
+                    elif result.code == "segment":
+                        pcm = (result.audio[1] * AMPLITUDE).astype(np.int16)
+                        await response.write(pcm.tobytes())
+                    elif result.code == "error":
+                        logger.error("stream error: %s", result.error)
+                        outcome = "errors"
+                        break
+                await fut
+                await response.write_eof()
+                if outcome != "errors":
+                    outcome = "completed"
+                return response
+
+            final = None
+            error = None
             while True:
                 result = await queue.get()
                 if result is None:
                     break
-                if result.code == "header":
-                    await response.write(result.audio[1].tobytes())
-                elif result.code == "segment":
-                    pcm = (result.audio[1] * AMPLITUDE).astype(np.int16)
-                    await response.write(pcm.tobytes())
+                if result.code == "final":
+                    final = result
                 elif result.code == "error":
-                    logger.error("stream error: %s", result.error)
-                    break
+                    error = result
             await fut
-            await response.write_eof()
-            return response
-
-        final = None
-        error = None
-        while True:
-            result = await queue.get()
-            if result is None:
-                break
-            if result.code == "final":
-                final = result
-            elif result.code == "error":
-                error = result
-        await fut
-        if final is None:
-            msg = str(error.error) if error else "No audio generated"
-            return web.json_response({"error": msg}, status=500)
+            if final is None:
+                msg = str(error.error) if error else "No audio generated"
+                outcome = "errors"
+                return web.json_response({"error": msg}, status=500)
+            outcome = "completed"
+        finally:
+            app["inflight"] -= 1
+            app["metrics"][outcome] += 1
+            if outcome == "cancelled":
+                cancel_ev.set()
 
         sr, audio = final.audio
         if ereq.format == "pcm":
@@ -435,6 +494,7 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
 
     app.router.add_get("/v1/health", health)
     app.router.add_post("/v1/health", health)
+    app.router.add_get("/v1/metrics", metrics)
     app.router.add_get("/v1/openapi.json", openapi_json)
     app.router.add_get("/docs", docs)
     app.router.add_get("/ui", ui)

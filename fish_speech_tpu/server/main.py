@@ -145,6 +145,10 @@ def parse_args(argv=None):
     parser.add_argument("--api-key", type=str, default=None)
     parser.add_argument("--half", action="store_true")
     parser.add_argument("--max-text-length", type=int, default=0)
+    parser.add_argument("--max-inflight", type=int, default=0,
+                        help="cap concurrent /v1/tts requests; excess gets "
+                             "503 + Retry-After instead of queueing "
+                             "unboundedly (0 = unlimited)")
     parser.add_argument("--references-dir", type=str, default="references")
     parser.add_argument("--decode-chunk-size", type=int, default=64)
     parser.add_argument("--pool-size", type=int, default=1,
@@ -192,10 +196,16 @@ def main(argv=None):
         warm_up(engine)
 
     app = create_app(engine, api_key=args.api_key,
-                     max_text_length=args.max_text_length)
+                     max_text_length=args.max_text_length,
+                     max_inflight=args.max_inflight)
     host, port = args.listen.rsplit(":", 1)
     logger.info("Serving on http://%s:%s", host, port)
-    web.run_app(app, host=host, port=int(port), print=None)
+    # handler_cancellation: aiohttp >= 3.9 no longer cancels handlers when
+    # the peer disconnects unless asked; without it a dropped client's
+    # generation runs its whole token budget (the /v1/tts handler converts
+    # the cancellation into a cancel event the engine polls per chunk)
+    web.run_app(app, host=host, port=int(port), print=None,
+                handler_cancellation=True)
 
 
 if __name__ == "__main__":

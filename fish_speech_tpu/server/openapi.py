@@ -94,6 +94,8 @@ def build_spec(version: str = "1.0.0") -> dict:
                 "responses": {
                     "200": audio_response,
                     "400": _json_resp("Validation error"),
+                    "503": _json_resp("Over --max-inflight capacity "
+                                      "(Retry-After: 1)"),
                 },
             }
         },
@@ -167,6 +169,16 @@ def build_spec(version: str = "1.0.0") -> dict:
             "get": {
                 "summary": "Audio formats with a live encoder backend",
                 "responses": {"200": _json_resp("formats: [...]")},
+            }
+        },
+        "/v1/metrics": {
+            "get": {
+                "summary": "Serving metrics",
+                "description": "Request counters (total/completed/cancelled/"
+                "errors/rejected), in-flight count, and continuous-batcher "
+                "pool state (active slots, queued, parked rows) when the "
+                "server runs with --pool-size > 1.",
+                "responses": {"200": _json_resp("Metrics snapshot")},
             }
         },
         "/v1/openapi.json": {

@@ -540,3 +540,67 @@ def test_prefix_hit_group_pads_to_compiled_signature():
         assert pk2.cache["k"].shape[1] == 4
     finally:
         b.shutdown()
+
+
+def test_cancelled_requests_free_slots_and_stop_decoding():
+    """Client-gone cancellation (VERDICT r2 serving hardening): an active
+    slot is reaped at the next chunk boundary, a cancelled queued request
+    never runs, and a mid-stream abandoned BatcherSession consumer frees
+    its slot. im_end is masked so generation can ONLY stop via cancel —
+    any early termination proves the cancel path, not sampling luck."""
+    import time
+
+    from fish_speech_tpu.engine.batcher import BatcherSession
+
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3, max_seq_len=256
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    b = ContinuousBatcher(
+        params, cfg, SamplingConfig(mask_im_end=True), pool_size=2,
+        dtype=jnp.float32, decode_chunk_size=4,
+    )
+    try:
+        prompt = random_prompt(cfg, 8)
+
+        # 1. active slot: cancel after the first chunk arrives
+        req = BatchRequest(prompt=prompt, max_new_tokens=200, seed=7)
+        out = b.submit(req)
+        first = out.get(timeout=120)
+        assert isinstance(first, np.ndarray)
+        req.cancelled.set()
+        b._wake.set()
+        n = first.shape[0]
+        while True:
+            item = out.get(timeout=120)
+            if item is None:
+                break
+            assert isinstance(item, np.ndarray)
+            n += item.shape[0]
+        assert n < 200, "reaped request decoded its whole budget anyway"
+
+        # 2. queued request cancelled before admission: terminated, never run
+        req2 = BatchRequest(prompt=prompt, max_new_tokens=8, seed=9)
+        req2.cancelled.set()
+        out2 = b.submit(req2)
+        assert out2.get(timeout=60) is None
+
+        # 3. abandoned streaming consumer (the engine/server path)
+        session = BatcherSession(b)
+        gen = session.generate_stream(
+            prompt, jax.random.PRNGKey(3), max_new_tokens=200
+        )
+        next(gen)
+        gen.close()  # sets req.cancelled via the finally
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if b.stats()["active_slots"] == 0:
+                break
+            time.sleep(0.05)
+        assert b.stats()["active_slots"] == 0, "abandoned stream kept its slot"
+
+        # pool recovered: a fresh request runs its exact (masked) budget
+        out3 = b.generate(prompt, max_new_tokens=6, seed=11)
+        assert out3.shape[1] == 6
+    finally:
+        b.shutdown()

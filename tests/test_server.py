@@ -55,7 +55,8 @@ def run_client(engine, fn, api_key=None):
         client = TestClient(TestServer(app))
         await client.start_server()
         try:
-            return await fn(client)
+            return await fn(client, app) if fn.__code__.co_argcount == 2 \
+                else await fn(client)
         finally:
             await client.close()
 
@@ -391,3 +392,81 @@ def _b64(b):
     import base64
 
     return base64.b64encode(b).decode()
+
+
+def test_metrics_endpoint(engine):
+    """/v1/metrics: request counters + in-flight (SURVEY §5.5 serving
+    observability; the reference has no metrics endpoint)."""
+    async def fn(client):
+        before = await (await client.get("/v1/metrics")).json()
+        r = await client.post(
+            "/v1/tts", json={"text": "metrics probe", "max_new_tokens": 8}
+        )
+        assert r.status == 200
+        await r.read()
+        after = await (await client.get("/v1/metrics")).json()
+        return before, after
+
+    before, after = run_client(engine, fn)
+    for key in ("requests_total", "completed", "cancelled", "errors",
+                "rejected", "inflight"):
+        assert key in before, key
+    assert after["requests_total"] == before["requests_total"] + 1
+    assert after["completed"] == before["completed"] + 1
+    assert after["inflight"] == 0
+
+
+def test_backpressure_rejects_over_capacity(engine):
+    """--max-inflight: a request over the cap gets an immediate 503 +
+    Retry-After instead of queueing unboundedly behind the device."""
+    async def fn(client, app):
+        app["max_inflight"] = 1
+        app["inflight"] = 1  # simulate one in-flight request
+        r = await client.post(
+            "/v1/tts", json={"text": "over capacity", "max_new_tokens": 4}
+        )
+        body = await r.json()
+        app["inflight"] = 0
+        ok = await client.post(
+            "/v1/tts", json={"text": "under capacity", "max_new_tokens": 4}
+        )
+        await ok.read()
+        metrics = await (await client.get("/v1/metrics")).json()
+        return r.status, r.headers.get("Retry-After"), body, ok.status, metrics
+
+    status, retry_after, body, ok_status, metrics = run_client(engine, fn)
+    assert status == 503 and retry_after == "1"
+    assert "overloaded" in body["error"]
+    assert ok_status == 200
+    assert metrics["rejected"] == 1
+
+
+def test_engine_cancel_check_stops_inference(engine):
+    """A cancel_check that trips after the first partial stops generation
+    early: no final result, no error result, and far fewer responses than
+    the token budget implies (the server wires the client-disconnect event
+    here, so a dropped request stops consuming device time)."""
+    from fish_speech_tpu.engine.tts import TTSRequest
+
+    polls = {"n": 0}
+
+    def cancel_after_two():
+        polls["n"] += 1
+        return polls["n"] > 2
+
+    results = list(engine.inference(TTSRequest(
+        text="cancel me mid-generation please",
+        max_new_tokens=200, streaming=True,
+        cancel_check=cancel_after_two,
+    )))
+    codes = {r.code for r in results}
+    assert "final" not in codes and "error" not in codes
+    # header + at most a couple of segments before the trip
+    assert sum(1 for r in results if r.code == "segment") <= 2
+
+    # cancelled from the start, non-streaming: nothing at all, no error
+    results = list(engine.inference(TTSRequest(
+        text="never even starts", max_new_tokens=8,
+        cancel_check=lambda: True,
+    )))
+    assert results == []
