@@ -36,6 +36,9 @@ import click
               default="attention,mlp,embeddings,output")
 @click.option("--dp", type=int, default=None)
 @click.option("--tp", type=int, default=1)
+@click.option("--zero1", is_flag=True,
+              help="ZeRO-1: shard AdamW m/v over the dp axis (per-replica "
+                   "optimizer memory / dp; numerically identical step)")
 @click.option("--seed", type=int, default=42)
 @click.option("--precision", type=click.Choice(["bfloat16", "float32"]),
               default="bfloat16")
@@ -49,8 +52,8 @@ import click
 @click.option("--host-id", type=int, default=None)
 def main(checkpoint_path, data_paths, val_paths, output, max_steps, batch_size,
          grad_accum, max_length, lr, warmup_steps, ckpt_every, val_every, lora_r,
-         lora_alpha, lora_targets, dp, tp, seed, precision, tiny, no_resume,
-         coordinator, num_hosts, host_id):
+         lora_alpha, lora_targets, dp, tp, zero1, seed, precision, tiny,
+         no_resume, coordinator, num_hosts, host_id):
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
     from fish_speech_tpu.parallel.mesh import init_distributed
@@ -108,7 +111,7 @@ def main(checkpoint_path, data_paths, val_paths, output, max_steps, batch_size,
         max_length=max_length, lr=lr,
         warmup_steps=warmup_steps, ckpt_every_steps=ckpt_every,
         val_every_steps=val_every, seed=seed, precision=precision,
-        dp=dp, tp=tp, lora=lora,
+        dp=dp, tp=tp, zero1=zero1, lora=lora,
     )
 
     def make_loader(paths):

@@ -72,6 +72,11 @@ class TrainConfig:
     tp: int = 1
     # lora
     lora: Optional[LoraConfig] = None
+    # ZeRO-1: shard AdamW m/v over the dp axis (parallel.mesh.
+    # zero1_shard_opt_state) — per-replica optimizer memory drops by ~dp;
+    # the compiled schedule becomes reduce-scatter(grads) + sharded update
+    # + all-gather(updates), numerically identical to the replicated step
+    zero1: bool = False
 
 
 class Trainer:
@@ -144,6 +149,21 @@ class Trainer:
         pspecs = _match_tree(pspecs, params)
         self.params = jax.tree_util.tree_map(jax.device_put, params, pspecs)
         self.opt_state = self.optimizer.init(self.params)
+        out_shardings = None
+        if train_cfg.zero1:
+            from fish_speech_tpu.parallel.mesh import zero1_shard_opt_state
+
+            self.opt_state = zero1_shard_opt_state(
+                self.optimizer, self.opt_state, pspecs, mesh
+            )
+            # pin the step's output shardings so the dp-sharded optimizer
+            # state STAYS dp-sharded across steps (donation keeps the
+            # buffers aliased); metrics stay unconstrained
+            out_shardings = (
+                jax.tree_util.tree_map(lambda x: x.sharding, self.params),
+                jax.tree_util.tree_map(lambda x: x.sharding, self.opt_state),
+                None,
+            )
         self.bspecs = to_named(mesh, batch_spec())
         self.accum = max(train_cfg.grad_accum_steps, 1)
         self.bspecs_accum = to_named(mesh, batch_spec(accum=True))
@@ -152,6 +172,7 @@ class Trainer:
             make_train_step(self.cfg, self.optimizer, trainable_filter=trainable,
                             grad_accum=self.accum),
             donate_argnums=(0, 1),
+            out_shardings=out_shardings,
         )
         self.step = 0
 
