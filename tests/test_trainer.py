@@ -317,3 +317,53 @@ def test_zero1_shards_opt_state_and_matches_replicated(tokenizer, tmp_path):
     leaves_b2 = [x for x in jax.tree_util.tree_leaves(tr_b.opt_state)
                  if hasattr(x, "sharding") and x.ndim >= 2]
     assert sum("dp" in spec_names(x) for x in leaves_b2) == n_dp
+
+
+def test_zero1_checkpoint_roundtrip(tokenizer, tmp_path):
+    """The dp-sharded optimizer state survives an orbax save/restore
+    (StandardCheckpointer restores with the target's shardings, and the
+    restore target is the freshly-init zero1-sharded state) and training
+    continues on the same trajectory as an uninterrupted run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = make_cfg(tokenizer)
+    zcfg = TrainConfig(
+        output_dir=str(tmp_path / "out"), project="zr", max_steps=3,
+        batch_size=4, max_length=128, lr=1e-3, warmup_steps=1,
+        precision="float32", dp=4, tp=2, val_every_steps=1000, zero1=True,
+    )
+    batch = make_batch(cfg, b=4)
+
+    def spec_names(x):
+        return {ax for part in (x.sharding.spec or ()) if part
+                for ax in (part if isinstance(part, tuple) else (part,))}
+
+    def run_steps(tr, n):
+        for _ in range(n):
+            b = tr._place_batch(batch, tr.bspecs)
+            tr.params, tr.opt_state, _ = tr.train_step(
+                tr.params, tr.opt_state, b)
+            tr.step += 1
+
+    # uninterrupted 3-step run
+    tr_full = Trainer(cfg, zcfg, params=None)
+    run_steps(tr_full, 3)
+
+    # 2 steps, checkpoint, restore into a fresh trainer, 1 more step
+    tr_pre = Trainer(cfg, zcfg, params=None)
+    run_steps(tr_pre, 2)
+    tr_pre.save_checkpoint()
+
+    tr_post = Trainer(cfg, zcfg, params=None)
+    assert tr_post.restore_checkpoint()
+    assert tr_post.step == 2
+    # restored state is still dp-sharded (not silently replicated)
+    leaves = [x for x in jax.tree_util.tree_leaves(tr_post.opt_state)
+              if hasattr(x, "sharding") and x.ndim >= 2]
+    assert sum("dp" in spec_names(x) for x in leaves) > 0
+    run_steps(tr_post, 1)
+
+    fa = jax.tree_util.tree_leaves(tr_full.params)[0]
+    fb = jax.tree_util.tree_leaves(tr_post.params)[0]
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               rtol=1e-5, atol=1e-6)
