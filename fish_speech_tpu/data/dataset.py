@@ -311,6 +311,15 @@ class TextDataCollator:
         }
 
 
+class _ProducerError:
+    """Carrier for an exception raised in the producer thread; the consumer
+    re-raises it in the training loop (a plain raise would die silently in
+    the daemon thread and strand the consumer on queue.get())."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class DataLoader:
     """Minimal background-thread batcher over an iterable dataset."""
 
@@ -346,6 +355,11 @@ class DataLoader:
                         return  # consumer gone; skip the sentinel too
             except StopIteration:
                 pass
+            except BaseException as e:  # noqa: BLE001 — a producer crash
+                # (corrupt sample, collate bug) must surface in the consumer,
+                # not strand it on queue.get() forever
+                put(_ProducerError(e))
+                return
             put(None)
 
         thread = threading.Thread(target=producer, daemon=True,
@@ -356,6 +370,8 @@ class DataLoader:
                 batch = queue.get()
                 if batch is None:
                     break
+                if isinstance(batch, _ProducerError):
+                    raise batch.exc
                 yield batch
         finally:
             stop.set()

@@ -1062,6 +1062,11 @@ def generate_long(
     assert 0 < top_p <= 1, "top_p must be in (0, 1]"
     assert 0 < temperature < 2, "temperature must be in (0, 2)"
 
+    # normalized poll for every guard site; branch SELECTION still keys on
+    # `cancel_check is not None` because the uncancellable non-streaming
+    # path deliberately avoids per-chunk host transfers
+    cancelled = cancel_check if cancel_check is not None else (lambda: False)
+
     cfg = session.cfg
     if isinstance(prompt_text, str):
         prompt_text = [prompt_text]
@@ -1106,7 +1111,7 @@ def generate_long(
 
             t0 = time.perf_counter()
             key, gk = jax.random.split(key)
-            if cancel_check is not None and cancel_check():
+            if cancelled():
                 return
             if stream_partials and device_partials:
                 last = None
@@ -1115,7 +1120,7 @@ def generate_long(
                     temperature=temperature, top_p=top_p, top_k=top_k,
                     device_partials=True,
                 ):
-                    if cancel_check is not None and cancel_check():
+                    if cancelled():
                         return
                     yield GenerateResponse(
                         action="partial",
@@ -1138,7 +1143,7 @@ def generate_long(
                     encoded, gk, max_new_tokens=max_new_tokens,
                     temperature=temperature, top_p=top_p, top_k=top_k,
                 ):
-                    if cancel_check is not None and cancel_check():
+                    if cancelled():
                         return
                     n_p = seq.shape[1]
                     end_p = (
@@ -1162,7 +1167,7 @@ def generate_long(
                     temperature=temperature, top_p=top_p, top_k=top_k,
                     pipeline_lookahead=getattr(session, "pipeline_lookahead", 0),
                 ):
-                    if cancel_check():
+                    if cancelled():
                         return
             else:
                 seq = session.generate(

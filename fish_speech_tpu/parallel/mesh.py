@@ -155,6 +155,17 @@ def batch_spec(accum: bool = False):
     return spec
 
 
+def sharding_axis_names(x) -> set:
+    """Mesh axis names an array's sharding actually uses (flattening
+    tuple-nested PartitionSpec entries). Empty set = fully replicated."""
+    return {
+        ax
+        for part in (x.sharding.spec or ())
+        if part
+        for ax in (part if isinstance(part, tuple) else (part,))
+    }
+
+
 def zero1_shard_opt_state(optimizer, opt_state, param_specs, mesh: Mesh):
     """ZeRO-1: shard the optimizer's params-shaped state (AdamW m/v) over
     the `dp` axis.

@@ -341,10 +341,19 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
                 outcome = "errors"
                 return web.json_response({"error": msg}, status=500)
             outcome = "completed"
+        except asyncio.CancelledError:
+            raise  # genuine client disconnect — stays "cancelled"
+        except Exception:
+            # an unexpected server fault (e.g. the worker future re-raising)
+            # must count as an error, not a client cancellation
+            outcome = "errors"
+            raise
         finally:
             app["inflight"] -= 1
             app["metrics"][outcome] += 1
-            if outcome == "cancelled":
+            if outcome != "completed":
+                # abandoned OR faulted: stop the worker forwarding loop so the
+                # engine/batcher cancel poll fires at the next decode chunk
                 cancel_ev.set()
 
         sr, audio = final.audio

@@ -202,3 +202,23 @@ def test_dataloader_producer_exits_when_consumer_abandons():
             break
         time.sleep(0.05)
     assert not alive, "producer thread leaked after consumer abandoned"
+
+
+def test_dataloader_producer_crash_surfaces_in_consumer():
+    """A producer-thread exception (corrupt sample / collate bug) must
+    re-raise in the consumer's loop — a crashed daemon thread that never
+    delivers the sentinel would strand the trainer on queue.get() forever."""
+    import pytest as _pytest
+
+    from fish_speech_tpu.data.dataset import DataLoader
+
+    class Corrupt:
+        def __iter__(self):
+            yield 1
+            yield 2
+            raise ValueError("corrupt sample")
+
+    loader = DataLoader(Corrupt(), 2, collate_fn=list, prefetch=2)
+    with _pytest.raises(ValueError, match="corrupt sample"):
+        for _ in loader:
+            pass

@@ -275,9 +275,7 @@ def test_zero1_shards_opt_state_and_matches_replicated(tokenizer, tmp_path):
     tr_b = Trainer(cfg, TrainConfig(**{**base.__dict__, "zero1": True}),
                    params=None)
 
-    def spec_names(x):
-        return {ax for part in (x.sharding.spec or ()) if part
-                for ax in (part if isinstance(part, tuple) else (part,))}
+    from fish_speech_tpu.parallel.mesh import sharding_axis_names as spec_names
 
     # the dp-sharded state exists in the zero1 trainer and not the baseline
     leaves_a = [x for x in jax.tree_util.tree_leaves(tr_a.opt_state)
@@ -334,9 +332,7 @@ def test_zero1_checkpoint_roundtrip(tokenizer, tmp_path):
     )
     batch = make_batch(cfg, b=4)
 
-    def spec_names(x):
-        return {ax for part in (x.sharding.spec or ()) if part
-                for ax in (part if isinstance(part, tuple) else (part,))}
+    from fish_speech_tpu.parallel.mesh import sharding_axis_names as spec_names
 
     def run_steps(tr, n):
         for _ in range(n):
