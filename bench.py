@@ -46,6 +46,44 @@ def _enable_compile_cache():
     # non-trivial so driver/verify reruns start in seconds
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+
+def _require_device(timeout_s: float = None):
+    """Bounded first device contact. The axon tunnel occasionally stalls
+    hard (observed: `jax.devices()` blocking >10 min); an unattended driver
+    run must fail loudly with a diagnosis instead of hanging its whole
+    budget. Runs `jax.devices()` in a daemon thread, logs progress, and
+    exits 3 past the deadline (BENCH_INIT_TIMEOUT, default 900 s)."""
+    import threading
+
+    timeout_s = timeout_s or float(os.environ.get("BENCH_INIT_TIMEOUT", 900))
+    box = {}
+
+    def probe():
+        import jax
+
+        box["devices"] = jax.devices()
+
+    th = threading.Thread(target=probe, daemon=True, name="device-probe")
+    t0 = time.perf_counter()
+    th.start()
+    next_log = 60.0
+    while th.is_alive():
+        th.join(timeout=5.0)
+        waited = time.perf_counter() - t0
+        if th.is_alive() and waited >= next_log:
+            print(f"# device init still pending after {waited:.0f}s "
+                  f"(tunnel slow or stalled)", file=sys.stderr, flush=True)
+            next_log += 60.0
+        if th.is_alive() and waited > timeout_s:
+            print(f"# FATAL: no device contact within {timeout_s:.0f}s — "
+                  f"the TPU tunnel is unreachable; aborting instead of "
+                  f"hanging the driver budget", file=sys.stderr, flush=True)
+            os._exit(3)
+    if "devices" not in box:
+        raise RuntimeError("device probe thread died without a device list")
+    print(f"# devices: {box['devices']} ({time.perf_counter()-t0:.1f}s)",
+          file=sys.stderr, flush=True)
+
 REFERENCE_X_REALTIME = 1.0 / 0.195  # H200 + SGLang headline
 FRAMES_PER_SECOND = 44100.0 / 2048.0  # 21.53 tokens/s
 
@@ -139,6 +177,7 @@ def _parse():
 def main():
     args = _parse()
     _enable_compile_cache()
+    _require_device()
     while True:
         try:
             if args.ttfa:
