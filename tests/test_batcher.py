@@ -604,3 +604,111 @@ def test_cancelled_requests_free_slots_and_stop_decoding():
         assert out3.shape[1] == 6
     finally:
         b.shutdown()
+
+
+def test_randomized_soak():
+    """Randomized concurrency soak over every pool path at once: a burst
+    of clients with random prompt lengths (buckets 64 and 128 interleaved,
+    so `_group_plan` emits full, padded, and single admission groups),
+    random budgets/seeds, submitted from threads with random jitter while
+    a third of the consumers abandon their stream mid-flight. Asserts
+    every stream terminates within the deadline, the pool drains clean
+    (no active slots, empty queue, no parked rows, worker alive), and
+    every surviving output is bit-equal to a solo rerun with the same
+    seed — pool traffic, admission grouping, parking, and neighboring
+    cancellations must not leak into any row's sampling stream.
+
+    im_end is masked (bench-style) so stream lengths are exact budgets:
+    a short stream can only mean a lost chunk or a cancel leak."""
+    import time
+
+    from fish_speech_tpu.engine.batcher import BatcherSession
+
+    # same dims as test_mixed_length_padded_group_admission: the jit cache
+    # already holds these signatures when the suite runs in one process
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3,
+        max_seq_len=192,
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    b = ContinuousBatcher(
+        params, cfg, SamplingConfig(mask_im_end=True), pool_size=6,
+        dtype=jnp.float32, decode_chunk_size=4,
+    )
+    session = BatcherSession(b)
+    rng = np.random.default_rng(1234)
+    n_clients = 15
+    lengths = rng.integers(5, 90, size=n_clients)
+    budgets = rng.integers(3, 11, size=n_clients)
+    cancel_at = {  # client -> chunks consumed before abandoning (-1: never)
+        i: (int(rng.integers(0, 2)) if i % 3 == 0 else -1)
+        for i in range(n_clients)
+    }
+    prompts = [
+        random_prompt(cfg, int(t), np.random.default_rng(500 + i))
+        for i, t in enumerate(lengths)
+    ]
+    keys = [jax.random.PRNGKey(1000 + i) for i in range(n_clients)]
+    results: dict = {}
+    errors: dict = {}
+
+    def client(i):
+        try:
+            time.sleep(float(rng.integers(0, 20)) / 1000.0)
+            gen = session.generate_stream(
+                prompts[i], keys[i], max_new_tokens=int(budgets[i])
+            )
+            if cancel_at[i] >= 0:
+                for _ in range(cancel_at[i]):
+                    next(gen)
+                gen.close()
+                results[i] = None
+                return
+            last = None
+            for last in gen:
+                pass
+            results[i] = last
+        except BaseException as e:  # surfaced below, not swallowed
+            errors[i] = e
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not errors, f"client errors: {errors}"
+        assert len(results) == n_clients, "a client never terminated"
+
+        # pool drains clean once every stream is done or reaped
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            s = b.stats()
+            if s["active_slots"] == 0 and s["queued"] == 0 \
+                    and s["parked_rows"] == 0:
+                break
+            time.sleep(0.05)
+        s = b.stats()
+        assert s["active_slots"] == 0, s
+        assert s["queued"] == 0, s
+        assert s["parked_rows"] == 0, s
+        assert s["worker_alive"], "worker thread died during the soak"
+
+        # survivors: exact budget length + bit-equal to a solo rerun
+        for i, out in results.items():
+            if out is None:
+                continue
+            assert out.shape == (cfg.num_codebooks + 1, int(budgets[i])), (
+                f"client {i}: {out.shape} vs budget {budgets[i]}"
+            )
+            # sampling params must match generate_stream's defaults
+            # (BatchRequest's own defaults are the reference's 0.8/0.8)
+            solo = b.generate(
+                prompts[i], max_new_tokens=int(budgets[i]),
+                temperature=1.0, top_p=0.9, top_k=30,
+                seed=BatcherSession._seed_of(keys[i]),
+            )
+            np.testing.assert_array_equal(out, solo, err_msg=f"client {i}")
+    finally:
+        b.shutdown()
