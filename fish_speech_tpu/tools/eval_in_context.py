@@ -34,7 +34,15 @@ def per_frame_semantic_loss(params, cfg, inp, labels):
     logp = jax.nn.log_softmax(codebook_logits[0], axis=-1)  # (T, C, K)
     safe = np.clip(cb_labels, 0, cfg.codebook_size - 1)
     nll = -np.take_along_axis(np.asarray(logp), safe[..., None], axis=-1)[..., 0]
-    valid = cb_labels != -100
+    # train-loss mask semantics (train/loss.py): codebook loss counts only
+    # where the row-0 label is a LOSS-BEARING semantic token — the encode
+    # stores codebook labels under the reference prompt too (cal_loss only
+    # gates row 0), so without this intersection the "in-context" curve
+    # would silently average the reference span in with the target span
+    sem_valid = (labels[0] >= cfg.semantic_begin_id) & (
+        labels[0] <= cfg.semantic_end_id
+    )
+    valid = (cb_labels != -100) & sem_valid[:, None]
     per_frame = (nll * valid).sum(-1) / np.maximum(valid.sum(-1), 1)
     return per_frame, valid.any(-1)
 
@@ -48,11 +56,16 @@ def per_frame_semantic_loss(params, cfg, inp, labels):
 @click.option("--target-text", type=str, required=True)
 @click.option("--output", type=click.Path(path_type=Path),
               default=Path("output/in_context_loss.json"))
+@click.option("--cpu", is_flag=True, help="force the CPU backend")
 def main(checkpoints, reference_codes, reference_text, target_codes,
-         target_text, output):
+         target_text, output, cpu):
     import dataclasses
 
+    import jax
     import jax.numpy as jnp
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from fish_speech_tpu.generate import build_base_conversation
     from fish_speech_tpu.sequence import Message, TextPart, VQPart

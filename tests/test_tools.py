@@ -210,3 +210,49 @@ def test_quantize_cli_int4(tmp_path, tokenizer):
     y = mm(x, {k: v[0] for k, v in qparams["layers"]["wqkv"].items()})
     yw = mm(x, {k: v[0] for k, v in want["layers"]["wqkv"].items()})
     np.testing.assert_array_equal(np.asarray(y), np.asarray(yw))
+
+
+def test_eval_in_context_cli(tmp_path, tokenizer):
+    """`tools/eval_in_context.py` (reference `tools/llama/eval_in_context.py`):
+    teacher-forced per-frame semantic-loss curves across checkpoints, from
+    (reference codes + target codes) through the chat framing."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.config import dual_ar_tiny
+    from fish_speech_tpu.models.dual_ar import init_dual_ar
+    from fish_speech_tpu.tools.eval_in_context import main
+    from fish_speech_tpu.utils.checkpoint import save_dual_ar
+
+    cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=331, im_end_id=3)
+    params = init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ckpt = tmp_path / "ckpt"
+    save_dual_ar(ckpt, params, cfg, tokenizer)
+
+    rng = np.random.default_rng(7)
+    n_sem = cfg.semantic_end_id - cfg.semantic_begin_id + 1
+    ref = rng.integers(0, n_sem, size=(cfg.num_codebooks, 6)).astype(np.int32)
+    tgt = rng.integers(0, n_sem, size=(cfg.num_codebooks, 5)).astype(np.int32)
+    np.save(tmp_path / "ref.npy", ref)
+    np.save(tmp_path / "tgt.npy", tgt)
+
+    out = tmp_path / "loss.json"
+    runner = CliRunner()
+    r = runner.invoke(
+        main,
+        ["--checkpoint-path", str(ckpt),
+         "--reference-codes", str(tmp_path / "ref.npy"),
+         "--reference-text", "reference speech",
+         "--target-codes", str(tmp_path / "tgt.npy"),
+         "--target-text", "target speech",
+         "--output", str(out)],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0
+    results = json.loads(out.read_text())
+    (entry,) = results.values()
+    assert len(entry["per_frame"]) == tgt.shape[1]
+    assert np.isfinite(entry["mean_loss"]) and entry["mean_loss"] > 0
+    assert np.allclose(entry["mean_loss"], np.mean(entry["per_frame"]))
