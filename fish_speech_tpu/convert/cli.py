@@ -19,7 +19,11 @@ import click
 
 @click.group()
 def cli():
-    pass
+    # file -> file transforms: no reason to claim (or wait for) an
+    # accelerator — same policy as tools/quantize.py
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 @cli.command("dual-ar")

@@ -36,9 +36,13 @@ def list_audio_files(folder: Path, recursive=True):
 @click.option("--num-shards", type=int, default=None)
 @click.option("--tiny", is_flag=True, help="tiny random codec (testing)")
 @click.option("--overwrite", is_flag=True)
+@click.option("--cpu", is_flag=True, help="force the CPU backend")
 def main(folder, checkpoint_path, batch_size, max_seconds, shard_id,
-         num_shards, tiny, overwrite):
+         num_shards, tiny, overwrite, cpu):
     import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from fish_speech_tpu.audio.io import load_audio

@@ -25,6 +25,10 @@ import click
 @click.option("--output", type=click.Path(), required=True)
 def main(base, lora_path, lora_r, lora_alpha, lora_targets, output):
     import jax
+
+    # file -> file transform: no reason to claim (or wait for) an
+    # accelerator — same policy as tools/quantize.py
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     import orbax.checkpoint as ocp

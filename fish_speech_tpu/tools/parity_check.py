@@ -39,8 +39,12 @@ import numpy as np
 @click.option("--golden", type=click.Path(exists=True), default=None,
               help="compare against a saved golden file")
 @click.option("--save-golden", type=click.Path(), default=None)
-def main(checkpoint_path, wav, text, max_new_tokens, golden, save_golden):
+@click.option("--cpu", is_flag=True, help="force the CPU backend")
+def main(checkpoint_path, wav, text, max_new_tokens, golden, save_golden, cpu):
     import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from fish_speech_tpu.audio.io import load_audio

@@ -15,6 +15,23 @@ import sys
 import click
 
 
+def _peek_num_codebooks(paths):
+    """Codebook count of the first sentence in the data (None if no data
+    is readable) — the tiny dev model is sized to match."""
+    from fish_speech_tpu.data.dataset import expand_proto_files
+    from fish_speech_tpu.data.stream import read_pb_stream
+
+    for f in expand_proto_files(list(paths)):
+        try:
+            with open(f, "rb") as fh:
+                for group in read_pb_stream(fh):
+                    for sentence in group.sentences:
+                        return len(sentence.semantics)
+        except OSError:
+            continue
+    return None
+
+
 @click.command()
 @click.option("--checkpoint-path", type=str, default=None,
               help="native checkpoint dir (None = random init, tiny dev run)")
@@ -50,11 +67,17 @@ import click
                    "num_nodes). batch-size becomes PER-HOST.")
 @click.option("--num-hosts", type=int, default=None)
 @click.option("--host-id", type=int, default=None)
+@click.option("--cpu", is_flag=True, help="force the CPU backend (dev smoke)")
 def main(checkpoint_path, data_paths, val_paths, output, max_steps, batch_size,
          grad_accum, max_length, lr, warmup_steps, ckpt_every, val_every, lora_r,
          lora_alpha, lora_targets, dp, tp, zero1, seed, precision, tiny,
-         no_resume, coordinator, num_hosts, host_id):
+         no_resume, coordinator, num_hosts, host_id, cpu):
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+
+    if cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from fish_speech_tpu.parallel.mesh import init_distributed
 
@@ -82,6 +105,10 @@ def main(checkpoint_path, data_paths, val_paths, output, max_steps, batch_size,
             semantic_end_id=tokenizer.semantic_end_id,
             im_end_id=tokenizer.im_end_id,
             max_seq_len=max_length,
+            # the tiny model must match the DATA's codebook count (e.g.
+            # extract_vq --tiny writes dac_tiny's 3, not the default 4) —
+            # the packer indexes rows 1..C by the model config
+            num_codebooks=_peek_num_codebooks(data_paths) or 4,
         )
         params = None
     else:
