@@ -203,13 +203,38 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
         """Point-in-time serving observability: request counters, in-flight
         count, and (under a pooled engine) continuous-batcher pool state.
         The reference exposes no metrics endpoint; SGLang-style serving
-        stacks do, and operators need it to drive autoscaling/alerting."""
+        stacks do, and operators need it to drive autoscaling/alerting.
+
+        JSON by default; Prometheus text exposition when the client asks
+        (`?format=prometheus` or an `Accept: text/plain` header) so a
+        standard scraper can point at /v1/metrics unmodified."""
         m = dict(app["metrics"])
         m["inflight"] = app["inflight"]
         batcher = getattr(getattr(engine, "session", None), "batcher", None)
         if batcher is not None:
             m["pool"] = batcher.stats()
-        return web.json_response(m)
+        wants_prom = (
+            request.query.get("format") == "prometheus"
+            or "text/plain" in request.headers.get("Accept", "")
+        )
+        if not wants_prom:
+            return web.json_response(m)
+        lines = []
+        counters = {"requests_total", "completed", "cancelled", "errors",
+                    "rejected"}
+
+        def emit(name, value, kind):
+            lines.append(f"# TYPE fish_speech_{name} {kind}")
+            lines.append(f"fish_speech_{name} {value}")
+
+        for k, v in m.items():
+            if k == "pool":
+                continue
+            emit(k, v, "counter" if k in counters else "gauge")
+        for k, v in m.get("pool", {}).items():
+            emit(f"pool_{k}", int(v), "gauge")
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain", charset="utf-8")
 
     async def ui(request):
         return web.Response(text=_render_ui_html(), content_type="text/html")

@@ -177,7 +177,9 @@ def build_spec(version: str = "1.0.0") -> dict:
                 "description": "Request counters (total/completed/cancelled/"
                 "errors/rejected), in-flight count, and continuous-batcher "
                 "pool state (active slots, queued, parked rows) when the "
-                "server runs with --pool-size > 1.",
+                "server runs with --pool-size > 1. JSON by default; "
+                "?format=prometheus (or Accept: text/plain) renders "
+                "Prometheus text exposition.",
                 "responses": {"200": _json_resp("Metrics snapshot")},
             }
         },

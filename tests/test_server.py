@@ -416,6 +416,28 @@ def test_metrics_endpoint(engine):
     assert after["inflight"] == 0
 
 
+def test_metrics_prometheus_format(engine):
+    """?format=prometheus (or Accept: text/plain) renders the same counters
+    in Prometheus text exposition so a stock scraper works unmodified."""
+    async def fn(client):
+        r = await client.get("/v1/metrics?format=prometheus")
+        assert r.status == 200
+        assert "text/plain" in r.headers["Content-Type"]
+        body = await r.text()
+        r2 = await client.get("/v1/metrics", headers={"Accept": "text/plain"})
+        return body, await r2.text()
+
+    body, body2 = run_client(engine, fn)
+    for b in (body, body2):
+        assert "# TYPE fish_speech_requests_total counter" in b
+        assert "# TYPE fish_speech_inflight gauge" in b
+        for line in b.strip().splitlines():
+            if not line.startswith("#"):
+                name, value = line.rsplit(" ", 1)
+                assert name.startswith("fish_speech_")
+                float(value)
+
+
 def test_backpressure_rejects_over_capacity(engine):
     """--max-inflight: a request over the cap gets an immediate 503 +
     Retry-After instead of queueing unboundedly behind the device."""
