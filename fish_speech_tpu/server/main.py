@@ -198,6 +198,17 @@ def main(argv=None):
     app = create_app(engine, api_key=args.api_key,
                      max_text_length=args.max_text_length,
                      max_inflight=args.max_inflight)
+
+    async def _drain_pool(app_):
+        # graceful SIGTERM/SIGINT: stop the batcher worker between chunks
+        # (its own daemon-thread teardown mid-device-call is ugly and can
+        # segfault the runtime); registered here, not in create_app, so
+        # test clients can tear apps down without killing a shared engine
+        batcher = getattr(engine.session, "batcher", None)
+        if batcher is not None:
+            batcher.shutdown()
+
+    app.on_cleanup.append(_drain_pool)
     host, port = args.listen.rsplit(":", 1)
     logger.info("Serving on http://%s:%s", host, port)
     # handler_cancellation: aiohttp >= 3.9 no longer cancels handlers when
