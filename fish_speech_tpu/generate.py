@@ -302,6 +302,11 @@ def _sample_column_rows(params, cfg, scfg, logits, hidden, window, keys,
     b = logits.shape[0]
     ks = split_keys_rows(keys, 4)  # (B, 4, 2)
 
+    if scfg.mask_im_end:  # benchmark-only, see SamplingConfig — must hold
+        # in EVERY sampling path (the pool's rows included), or a
+        # "sustained" run silently early-stops rows
+        logits = logits.at[:, -1].set(-jnp.inf)
+
     state = topk_state(logits)
     idx_normal = sample_topk_rows(ks[:, 0], state, temperature, top_p, top_k)
     tok_normal = dual_ar.semantic_index_to_token(cfg, idx_normal)

@@ -606,7 +606,8 @@ def test_cancelled_requests_free_slots_and_stop_decoding():
         b.shutdown()
 
 
-def test_randomized_soak():
+@pytest.mark.parametrize("kv_quant,prefix", [(False, 0), (True, 4)])
+def test_randomized_soak(kv_quant, prefix):
     """Randomized concurrency soak over every pool path at once: a burst
     of clients with random prompt lengths (buckets 64 and 128 interleaved,
     so `_group_plan` emits full, padded, and single admission groups),
@@ -616,10 +617,13 @@ def test_randomized_soak():
     (no active slots, empty queue, no parked rows, worker alive), and
     every surviving output is bit-equal to a solo rerun with the same
     seed — pool traffic, admission grouping, parking, and neighboring
-    cancellations must not leak into any row's sampling stream.
+    cancellations must not leak into any row's sampling stream. The
+    second variant soaks the int8-KV pool with the prefix store armed.
 
     im_end is masked (bench-style) so stream lengths are exact budgets:
-    a short stream can only mean a lost chunk or a cancel leak."""
+    a short stream can only mean a lost chunk or a cancel leak. (This
+    caught a real one: `_sample_column_rows` didn't apply mask_im_end,
+    so pool rows could draw im_end and end short under load.)"""
     import time
 
     from fish_speech_tpu.engine.batcher import BatcherSession
@@ -634,6 +638,7 @@ def test_randomized_soak():
     b = ContinuousBatcher(
         params, cfg, SamplingConfig(mask_im_end=True), pool_size=6,
         dtype=jnp.float32, decode_chunk_size=4,
+        kv_quant=kv_quant, prefix_cache_size=prefix,
     )
     session = BatcherSession(b)
     rng = np.random.default_rng(1234)
