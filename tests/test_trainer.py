@@ -363,3 +363,46 @@ def test_zero1_checkpoint_roundtrip(tokenizer, tmp_path):
     fb = jax.tree_util.tree_leaves(tr_post.params)[0]
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_resume_is_bit_equivalent(tokenizer, tmp_path):
+    """Interrupted training is EXACTLY the uninterrupted run: 4 steps
+    straight vs 2 steps -> orbax checkpoint -> fresh Trainer -> restore ->
+    2 more steps on the same remaining batches must produce bit-identical
+    params and optimizer state (f32 CPU: same jitted program both ways, so
+    any delta is a checkpoint round-trip loss — m/v, the AdamW step count
+    driving the warmup schedule, or the step counter)."""
+    cfg = make_cfg(tokenizer)
+    batches = [make_batch(cfg, np.random.default_rng(100 + i)) for i in range(4)]
+
+    def tc(outdir, max_steps):
+        return TrainConfig(
+            output_dir=str(tmp_path / outdir), project="t",
+            max_steps=max_steps, batch_size=2, max_length=32, lr=1e-3,
+            warmup_steps=2, ckpt_every_steps=2, log_every_steps=100,
+            precision="float32", dp=1, tp=1, val_every_steps=1000,
+        )
+
+    t_a = Trainer(cfg, tc("a", 4), params=None)
+    t_a.fit(list(batches), resume=False)
+
+    t_b = Trainer(cfg, tc("b", 2), params=None)
+    t_b.fit(batches[:2], resume=False)
+    t_b2 = Trainer(cfg, tc("b", 4), params=None)
+    t_b2.fit(batches[2:], resume=True)
+
+    assert t_a.step == t_b2.step == 4
+
+    flat_a = jax.tree_util.tree_leaves_with_path(t_a.params)
+    flat_b = jax.tree_util.tree_leaves_with_path(t_b2.params)
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (_, vb) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(vb), err_msg=jax.tree_util.keystr(ka)
+        )
+
+    oa = jax.tree_util.tree_leaves(t_a.opt_state)
+    ob = jax.tree_util.tree_leaves(t_b2.opt_state)
+    assert len(oa) == len(ob)
+    for va, vb in zip(oa, ob):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
