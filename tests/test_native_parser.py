@@ -144,3 +144,43 @@ def test_native_capacity_growth_still_works(tmp_path):
         )
     got = fast_read_shard(p)
     np.testing.assert_array_equal(got[0]["sentences"][0]["semantics"][0], big)
+
+
+def test_native_fuzz_mutations_never_crash(tmp_path):
+    """Seeded fuzz sweep: random byte flips, truncations, insertions, and
+    slice duplications over a valid shard must either parse or raise a
+    clean Python error — never crash the process, hang, or hand back
+    malformed arrays (the parser fronts untrusted dataset files)."""
+    base = make_proto_file(tmp_path / "d.protos", n_groups=3, n_sentences=4)
+    data = base.read_bytes()
+    rng = np.random.default_rng(0)
+    parsed = errors = 0
+    for trial in range(200):
+        buf = bytearray(data)
+        kind = ("flip", "trunc", "insert", "dup")[trial % 4]
+        if kind == "flip":
+            for _ in range(int(rng.integers(1, 8))):
+                i = int(rng.integers(0, len(buf)))
+                buf[i] ^= int(rng.integers(1, 256))
+        elif kind == "trunc":
+            buf = buf[: int(rng.integers(0, len(buf)))]
+        elif kind == "insert":
+            i = int(rng.integers(0, len(buf)))
+            buf[i:i] = bytes(
+                rng.integers(0, 256, size=int(rng.integers(1, 16)),
+                             dtype=np.uint8)
+            )
+        else:
+            i, j = sorted(rng.integers(0, len(buf), size=2).tolist())
+            buf[j:j] = buf[i:j]
+        f = tmp_path / "fuzz.protos"
+        f.write_bytes(bytes(buf))
+        try:
+            for g in fast_read_shard(f):
+                for s in g["sentences"]:
+                    assert s["semantics"].ndim == 2
+                    assert s["semantics"].dtype == np.int32
+            parsed += 1
+        except Exception:
+            errors += 1
+    assert parsed + errors == 200
