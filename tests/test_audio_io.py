@@ -63,3 +63,41 @@ def test_read_wav_from_bytes(tmp_path):
     write_wav(p, x, sr)
     y, sr2 = read_wav(p.read_bytes())
     assert sr2 == sr and y.shape == (1, 50)
+
+
+def test_load_audio_fuzz_mutations_never_crash(tmp_path):
+    """Seeded fuzz over the reference-upload decode surface: mutated
+    WAV/FLAC bytes through `load_audio` must decode (finite mono
+    samples) or raise a clean error — never crash or hang (clients
+    upload arbitrary bytes to /v1/references)."""
+    from fish_speech_tpu.audio.io import load_audio, write_wav
+    from fish_speech_tpu.audio.transcode import encode_flac
+
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(size=8000) * 0.1).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(p, audio, 8000)
+    sources = [p.read_bytes(), encode_flac(audio[:, None], 8000)]
+
+    decoded = errors = 0
+    for trial in range(200):
+        buf = bytearray(sources[trial % 2])
+        kind = trial % 6
+        if kind in (0, 1):
+            for _ in range(int(rng.integers(1, 12))):
+                i = int(rng.integers(0, len(buf)))
+                buf[i] ^= int(rng.integers(1, 256))
+        elif kind in (2, 3):
+            buf = buf[: int(rng.integers(0, len(buf)))]
+        else:
+            i = int(rng.integers(0, len(buf)))
+            buf[i:i] = bytes(rng.integers(
+                0, 256, size=int(rng.integers(1, 64)), dtype=np.uint8))
+        try:
+            x = load_audio(bytes(buf), 8000)
+            assert x.ndim == 1
+            assert x.size == 0 or np.isfinite(x).all()
+            decoded += 1
+        except Exception:
+            errors += 1
+    assert decoded + errors == 200
