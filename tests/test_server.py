@@ -492,3 +492,41 @@ def test_engine_cancel_check_stops_inference(engine):
         cancel_check=lambda: True,
     )))
     assert results == []
+
+
+def test_malformed_bodies_never_hang_the_server(engine):
+    """Garbage request bodies (random bytes, wrong content-types, empty,
+    half-valid JSON/msgpack) against every POST endpoint must produce an
+    HTTP error response — not a hang or a dead server. Health must still
+    answer afterwards."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    endpoints = ["/v1/tts", "/v1/vqgan/encode", "/v1/vqgan/decode",
+                 "/v1/references/add", "/v1/references/update"]
+    bodies = [
+        b"", b"{", b"\x00\x01\x02\x03", b'{"text": 5}',
+        b'{"unexpected": "field"}',
+        bytes(rng.integers(0, 256, size=256, dtype=np.uint8)),
+        b'"just a string"', b"[1,2,3]",
+    ]
+    ctypes_ = ["application/json", "application/msgpack",
+               "application/octet-stream"]
+
+    async def fn(client):
+        n = 0
+        for ep in endpoints:
+            for body in bodies:
+                ct = ctypes_[n % len(ctypes_)]
+                n += 1
+                r = await client.post(ep, data=body,
+                                      headers={"Content-Type": ct})
+                assert r.status in (200, 400, 404, 415, 422, 500), \
+                    (ep, ct, body[:16], r.status)
+                await r.read()
+        h = await client.get("/v1/health")
+        assert h.status == 200
+        return n
+
+    n = run_client(engine, fn)
+    assert n == len(endpoints) * len(bodies)
