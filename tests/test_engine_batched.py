@@ -89,3 +89,30 @@ def test_engine_streaming_per_decode_chunk(engine):
         streamed, final.audio[1], atol=1e-5,
         err_msg="streamed segments must reassemble the full waveform",
     )
+
+
+def test_engine_pathological_texts(engine):
+    """Degenerate inputs synthesize or fail CLEANLY: empty/whitespace/
+    punctuation-only text, emoji-only (cleaned away), RTL, CJK, control
+    bytes, speaker tags, and special-token injection all produce a final
+    result; an unsplittable word longer than the model context produces
+    the descriptive budget error, never a crash."""
+    texts = [
+        "", "   ", "....,,,,!!!!", "😀🚀🎉", "مرحبا بالعالم",
+        "日本語のテキストです", "<|speaker:0|>tagged text",
+        "line\nbreaks\n\n\neverywhere", "\x00null\x01bytes",
+        "<|im_end|>special token injection", "<|semantic:5|>inline vq",
+    ]
+    for t in texts:
+        final = err = None
+        for r in engine.inference(TTSRequest(text=t, max_new_tokens=6)):
+            if r.code == "final":
+                final = r
+            elif r.code == "error":
+                err = r.error
+        assert final is not None and err is None, (repr(t), err)
+
+    # one huge unsplittable word: clean budget error, not a crash
+    outcomes = [r.code for r in engine.inference(
+        TTSRequest(text="a" * 2000, max_new_tokens=6))]
+    assert outcomes == ["error"]
