@@ -62,11 +62,11 @@ def _require_device(timeout_s: float = None):
        instead; the moment one sees chips, re-exec this bench so it gets
        a clean client. BENCH_INIT_T0 carries the original start time
        across the re-exec so the TOTAL window (BENCH_INIT_TIMEOUT,
-       default 900 s) is respected; exit 3 past it."""
+       default 1800 s) is respected; exit 3 past it."""
     import subprocess
     import threading
 
-    timeout_s = timeout_s or float(os.environ.get("BENCH_INIT_TIMEOUT", 900))
+    timeout_s = timeout_s or float(os.environ.get("BENCH_INIT_TIMEOUT", 1800))
     t0 = float(os.environ.get("BENCH_INIT_T0") or time.time())
     os.environ["BENCH_INIT_T0"] = repr(t0)
     first_deadline = min(240.0, timeout_s)
