@@ -6,6 +6,10 @@ Endpoint and wire-format parity with the reference server
   GET/POST /v1/health
   POST /v1/tts                  msgpack|json body -> WAV bytes, or
                                 streaming WAV header + int16 PCM chunks
+  POST /v1/audio/speech         OpenAI-compatible synthesis (JSON body,
+                                OpenAI SDK drop-in: voice names or stored
+                                reference ids, pitch-preserving speed,
+                                SSE streaming via stream_format="sse")
   POST /v1/vqgan/encode         {audios: [wav bytes]} -> {tokens}
   POST /v1/vqgan/decode         {tokens} -> {audios: [float16 pcm bytes]}
   POST /v1/references/add       multipart|msgpack|json
@@ -58,6 +62,7 @@ from fish_speech_tpu.server.schema import (
 logger = logging.getLogger(__name__)
 
 AMPLITUDE = 32768  # int16 full scale for streamed PCM chunks
+OPENAI_PCM_SR = 24000  # the OpenAI audio API's pcm/SSE sample-rate contract
 
 
 def _msgpack_response(model, status: int = 200) -> web.Response:
@@ -406,6 +411,202 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
             },
         )
 
+    def _openai_error(message: str, status: int = 400,
+                      etype: str = "invalid_request_error") -> web.Response:
+        # OpenAI SDKs parse {"error": {"message", "type"}} bodies
+        return web.json_response(
+            {"error": {"message": message, "type": etype}}, status=status
+        )
+
+    async def openai_speech(request):
+        """OpenAI-compatible `POST /v1/audio/speech` (drop-in for OpenAI SDK
+        clients; the reference has no such route). JSON body per
+        `OpenAISpeechRequest`; returns audio bytes, or SSE
+        `speech.audio.delta`/`speech.audio.done` events when
+        `stream_format == "sse"`. `speed` is applied host-side as a
+        pitch-preserving WSOLA tempo change (`audio/stretch.py`). `pcm`
+        output and SSE deltas are resampled to OpenAI's 24 kHz contract;
+        container formats keep the model's native rate."""
+        from fish_speech_tpu.audio.io import resample
+        from fish_speech_tpu.audio.stretch import time_stretch
+        from fish_speech_tpu.server.schema import OpenAISpeechRequest
+
+        try:
+            req = OpenAISpeechRequest(**await _parse_body(request))
+        except pydantic.ValidationError as e:
+            return _openai_error(str(e))
+
+        reference_id = None
+        if req.voice not in OpenAISpeechRequest.BUILTIN_VOICES:
+            if req.voice in engine.references.list_references():
+                reference_id = req.voice
+            else:
+                return _openai_error(
+                    f"voice {req.voice!r} is neither an OpenAI built-in "
+                    f"voice name nor a stored reference id"
+                )
+        fmt = req.response_format
+        if fmt not in ("wav", "pcm") and fmt not in transcode.available_formats():
+            return _openai_error(
+                f"response_format {fmt!r} has no encoder backend; available: "
+                f"{['wav', 'pcm'] + transcode.available_formats()}"
+            )
+        if max_text_length > 0 and len(req.input) > max_text_length:
+            return _openai_error(
+                f"input is too long, max length is {max_text_length}"
+            )
+
+        if app["max_inflight"] > 0 and app["inflight"] >= app["max_inflight"]:
+            app["metrics"]["rejected"] += 1
+            return _openai_error(
+                "server overloaded, retry later", status=503,
+                etype="server_error",
+            )
+
+        sse = req.stream_format == "sse"
+        ereq = TTSRequest(
+            text=req.input,
+            reference_id=reference_id,
+            use_memory_cache="on" if reference_id else "off",
+            streaming=sse,
+            max_new_tokens=req.max_new_tokens,
+        )
+        cancel_ev = threading.Event()
+        ereq.cancel_check = cancel_ev.is_set
+
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+
+        def worker():
+            try:
+                for result in engine.inference(ereq):
+                    if cancel_ev.is_set():
+                        break
+                    loop.call_soon_threadsafe(queue.put_nowait, result)
+            finally:
+                loop.call_soon_threadsafe(queue.put_nowait, None)
+
+        app["metrics"]["requests_total"] += 1
+        app["inflight"] += 1
+        outcome = "cancelled"
+        try:
+            fut = loop.run_in_executor(None, worker)
+
+            if sse:
+                import base64
+                import json as _json
+
+                response = web.StreamResponse(
+                    headers={
+                        "Content-Type": "text/event-stream",
+                        "Cache-Control": "no-cache",
+                    }
+                )
+                await response.prepare(request)
+                n_samples = 0
+                while True:
+                    result = await queue.get()
+                    if result is None:
+                        break
+                    if result.code == "segment":
+                        seg = result.audio[1]
+                        n_samples += len(seg)
+                        if req.speed != 1.0:
+                            seg = time_stretch(seg, req.speed)
+                        seg = resample(seg, engine.sample_rate, OPENAI_PCM_SR)
+                        pcm = (np.clip(seg, -1, 1) * AMPLITUDE).astype(np.int16)
+                        event = {
+                            "type": "speech.audio.delta",
+                            "audio": base64.b64encode(pcm.tobytes()).decode(),
+                        }
+                        await response.write(
+                            f"data: {_json.dumps(event)}\n\n".encode()
+                        )
+                    elif result.code == "error":
+                        logger.error("sse error: %s", result.error)
+                        outcome = "errors"
+                        event = {
+                            "type": "error",
+                            "error": {"message": str(result.error),
+                                      "type": "server_error"},
+                        }
+                        await response.write(
+                            f"data: {_json.dumps(event)}\n\n".encode()
+                        )
+                        break
+                await fut
+                if outcome != "errors":
+                    done = {
+                        "type": "speech.audio.done",
+                        "usage": {
+                            "input_tokens": len(
+                                engine.tokenizer.encode(req.input)
+                            ),
+                            "output_tokens": n_samples
+                            // engine.codec_cfg.frame_length,
+                            "total_tokens": 0,
+                        },
+                    }
+                    done["usage"]["total_tokens"] = (
+                        done["usage"]["input_tokens"]
+                        + done["usage"]["output_tokens"]
+                    )
+                    await response.write(
+                        f"data: {_json.dumps(done)}\n\n".encode()
+                    )
+                    outcome = "completed"
+                await response.write_eof()
+                return response
+
+            final = None
+            error = None
+            while True:
+                result = await queue.get()
+                if result is None:
+                    break
+                if result.code == "final":
+                    final = result
+                elif result.code == "error":
+                    error = result
+            await fut
+            if final is None:
+                outcome = "errors"
+                msg = str(error.error) if error else "No audio generated"
+                return _openai_error(msg, status=500, etype="server_error")
+            outcome = "completed"
+        except asyncio.CancelledError:
+            raise
+        except Exception:
+            outcome = "errors"
+            raise
+        finally:
+            app["inflight"] -= 1
+            app["metrics"][outcome] += 1
+            if outcome != "completed":
+                cancel_ev.set()
+
+        sr, audio = final.audio
+        if req.speed != 1.0:
+            audio = time_stretch(audio, req.speed)
+        if fmt == "pcm":
+            audio = resample(audio, sr, OPENAI_PCM_SR)
+            body = (np.clip(audio, -1, 1) * AMPLITUDE).astype(np.int16).tobytes()
+            ctype = "audio/pcm"
+        elif fmt == "wav":
+            buf = io.BytesIO()
+            _write_wav_buffer(buf, audio, sr)
+            body = buf.getvalue()
+            ctype = "audio/wav"
+        else:
+            try:
+                body = transcode.encode_audio(audio, sr, fmt)
+            except transcode.TranscodeUnavailable as e:
+                return _openai_error(str(e))
+            ctype = {
+                "flac": "audio/flac", "mp3": "audio/mpeg", "opus": "audio/opus"
+            }[fmt]
+        return web.Response(body=body, content_type=ctype)
+
     async def vqgan_encode(request):
         data = await _parse_body(request)
         req_model = ServeVQGANEncodeRequest(**data)
@@ -535,6 +736,7 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
     app.router.add_static("/ui/static/", _STATIC_DIR)
     app.router.add_get("/v1/formats", formats)
     app.router.add_post("/v1/tts", tts)
+    app.router.add_post("/v1/audio/speech", openai_speech)
     app.router.add_post("/v1/vqgan/encode", vqgan_encode)
     app.router.add_post("/v1/vqgan/decode", vqgan_decode)
     app.router.add_post("/v1/references/add", references_add)

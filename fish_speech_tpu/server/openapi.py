@@ -21,6 +21,7 @@ _REF_TEMPLATE = "#/components/schemas/{model}"
 _MODELS = [
     S.ServeReferenceAudio,
     S.ServeTTSRequest,
+    S.OpenAISpeechRequest,
     S.ServeVQGANEncodeRequest,
     S.ServeVQGANEncodeResponse,
     S.ServeVQGANDecodeRequest,
@@ -96,6 +97,33 @@ def build_spec(version: str = "1.0.0") -> dict:
                     "400": _json_resp("Validation error"),
                     "503": _json_resp("Over --max-inflight capacity "
                                       "(Retry-After: 1)"),
+                },
+            }
+        },
+        "/v1/audio/speech": {
+            "post": {
+                "summary": "OpenAI-compatible speech synthesis",
+                "description": "Drop-in for OpenAI SDK audio.speech clients. "
+                "voice is an OpenAI built-in name (default voice) or a "
+                "stored reference id (voice clone); speed is a "
+                "pitch-preserving tempo change; stream_format=sse delivers "
+                "speech.audio.delta events with base64 24 kHz int16 PCM "
+                "then speech.audio.done.",
+                "requestBody": _json_body(S.OpenAISpeechRequest,
+                                          also_msgpack=False),
+                "responses": {
+                    "200": {
+                        "description": "Audio bytes (audio stream_format) "
+                        "or an SSE event stream (sse).",
+                        "content": {
+                            "audio/mpeg": {"schema": {"type": "string",
+                                                      "format": "binary"}},
+                            "text/event-stream": {"schema":
+                                                  {"type": "string"}},
+                        },
+                    },
+                    "400": _json_resp("OpenAI-style error envelope"),
+                    "503": _json_resp("Over --max-inflight capacity"),
                 },
             }
         },

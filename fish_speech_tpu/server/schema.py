@@ -7,7 +7,7 @@ the reference server work unchanged.
 from __future__ import annotations
 
 import base64
-from typing import Literal, Optional
+from typing import ClassVar, Literal, Optional
 
 from pydantic import BaseModel, Field, conint, model_validator
 from typing_extensions import Annotated
@@ -50,6 +50,37 @@ class ServeTTSRequest(BaseModel):
     top_p: Annotated[float, Field(ge=0.1, le=1.0)] = 0.8
     repetition_penalty: Annotated[float, Field(ge=0.9, le=2.0)] = 1.1
     temperature: Annotated[float, Field(ge=0.1, le=1.0)] = 0.8
+
+
+class OpenAISpeechRequest(BaseModel):
+    """OpenAI `/v1/audio/speech` request (drop-in for OpenAI SDK clients).
+
+    Beyond-reference surface: fish-speech has no OpenAI-compatible route, so
+    existing OpenAI-TTS integrations need a rewrite to adopt it; this maps
+    the OpenAI contract onto the engine. `voice` is either one of OpenAI's
+    built-in voice names (served with the model's default voice) or a stored
+    reference id (served voice-cloned). `speed` is a pitch-preserving tempo
+    change (WSOLA, `audio/stretch.py`). `instructions` is accepted for SDK
+    compatibility but has no effect (the underlying model takes style from
+    reference audio, not free-text instructions).
+    """
+
+    # OpenAI's built-in voice names map to the default (un-cloned) voice
+    BUILTIN_VOICES: ClassVar[frozenset] = frozenset(
+        {"alloy", "ash", "ballad", "coral", "echo", "fable",
+         "nova", "onyx", "sage", "shimmer", "verse"}
+    )
+
+    model: str = "fish-speech"  # accepted and ignored (single-model server)
+    input: str = Field(..., min_length=1, max_length=4096)
+    voice: str = "alloy"
+    response_format: Literal["mp3", "opus", "flac", "wav", "pcm"] = "mp3"
+    speed: Annotated[float, Field(ge=0.25, le=4.0)] = 1.0
+    stream_format: Literal["audio", "sse"] = "audio"
+    instructions: Optional[str] = None
+    # extension beyond the OpenAI contract: generation budget cap (frames);
+    # OpenAI SDKs pass extra body fields through `extra_body`
+    max_new_tokens: Annotated[int, Field(ge=1, le=8192)] = 1024
 
 
 class ServeVQGANEncodeRequest(BaseModel):

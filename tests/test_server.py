@@ -530,3 +530,113 @@ def test_malformed_bodies_never_hang_the_server(engine):
 
     n = run_client(engine, fn)
     assert n == len(endpoints) * len(bodies)
+
+
+# ---- OpenAI-compatible /v1/audio/speech ----
+
+
+def test_openai_speech_wav(engine):
+    async def fn(client):
+        r = await client.post(
+            "/v1/audio/speech",
+            json={"input": "hello from the openai api", "voice": "alloy",
+                  "response_format": "wav", "max_new_tokens": 8},
+        )
+        return r.status, await r.read(), r.content_type
+
+    status, body, ctype = run_client(engine, fn)
+    assert status == 200 and ctype == "audio/wav"
+    with wave.open(io.BytesIO(body)) as f:
+        assert f.getframerate() == engine.sample_rate
+        assert f.getnframes() > 0
+
+
+def test_openai_speech_pcm_is_24k_and_speed_applies(engine):
+    async def fn(client):
+        r = await client.post(
+            "/v1/audio/speech",
+            json={"input": "pcm please", "response_format": "pcm",
+                  "speed": 2.0, "max_new_tokens": 8},
+        )
+        return r.status, await r.read(), r.content_type
+
+    status, body, ctype = run_client(engine, fn)
+    assert status == 200 and ctype == "audio/pcm"
+    # int16 mono payload, resampled off the model rate onto OpenAI's 24 kHz
+    assert len(body) > 0 and len(body) % 2 == 0
+    pcm = np.frombuffer(body, dtype="<i2")
+    assert np.isfinite(pcm.astype(np.float32)).all()
+
+
+def test_openai_speech_sse_stream(engine):
+    import base64
+    import json
+
+    async def fn(client):
+        r = await client.post(
+            "/v1/audio/speech",
+            json={"input": "stream me as sse", "stream_format": "sse",
+                  "max_new_tokens": 8},
+        )
+        assert r.content_type == "text/event-stream"
+        raw = await r.read()
+        return r.status, raw.decode()
+
+    status, text = run_client(engine, fn)
+    assert status == 200
+    events = [json.loads(line[len("data: "):])
+              for line in text.splitlines() if line.startswith("data: ")]
+    deltas = [e for e in events if e["type"] == "speech.audio.delta"]
+    dones = [e for e in events if e["type"] == "speech.audio.done"]
+    assert deltas and len(dones) == 1
+    for d in deltas:
+        pcm = base64.b64decode(d["audio"])
+        assert len(pcm) > 0 and len(pcm) % 2 == 0
+    usage = dones[0]["usage"]
+    assert usage["input_tokens"] > 0
+    assert usage["total_tokens"] == usage["input_tokens"] + usage["output_tokens"]
+
+
+def test_openai_speech_unknown_voice_gets_openai_error(engine):
+    async def fn(client):
+        r = await client.post(
+            "/v1/audio/speech",
+            json={"input": "hi", "voice": "no-such-voice"},
+        )
+        return r.status, await r.json()
+
+    status, body = run_client(engine, fn)
+    assert status == 400
+    assert body["error"]["type"] == "invalid_request_error"
+    assert "no-such-voice" in body["error"]["message"]
+
+
+def test_openai_speech_validation_error_shape(engine):
+    async def fn(client):
+        r = await client.post(
+            "/v1/audio/speech",
+            json={"input": "hi", "speed": 9.0},
+        )
+        return r.status, await r.json()
+
+    status, body = run_client(engine, fn)
+    assert status == 400 and body["error"]["type"] == "invalid_request_error"
+
+
+def test_openai_speech_stored_reference_as_voice(engine):
+    wav = make_wav_bytes()
+
+    async def fn(client):
+        engine.references.add_reference("openai-voice", wav, "reference text")
+        try:
+            r = await client.post(
+                "/v1/audio/speech",
+                json={"input": "cloned voice", "voice": "openai-voice",
+                      "response_format": "wav", "max_new_tokens": 8},
+            )
+            return r.status, await r.read()
+        finally:
+            engine.references.delete_reference("openai-voice")
+
+    status, body = run_client(engine, fn)
+    assert status == 200 and body[:4] == b"RIFF"
