@@ -10,6 +10,10 @@ Endpoint and wire-format parity with the reference server
                                 OpenAI SDK drop-in: voice names or stored
                                 reference ids, pitch-preserving speed,
                                 SSE streaming via stream_format="sse")
+  GET  /v1/tts/live             WebSocket live synthesis: stream text
+                                fragments in (LLM output, typing), get
+                                per-utterance PCM streamed back while
+                                later text is still arriving
   POST /v1/vqgan/encode         {audios: [wav bytes]} -> {tokens}
   POST /v1/vqgan/decode         {tokens} -> {audios: [float16 pcm bytes]}
   POST /v1/references/add       multipart|msgpack|json
@@ -607,6 +611,159 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
             }[fmt]
         return web.Response(body=body, content_type=ctype)
 
+    async def tts_live(request):
+        """WebSocket live synthesis: text fragments in, PCM out.
+
+        The shape LLM→TTS pipelines need (neither the reference nor its
+        SGLang integration serves it): the client streams text as it is
+        produced, the server cuts at sentence boundaries
+        (`utils/textseg.split_ready`) and streams each utterance's audio
+        back while later text is still arriving.
+
+        Client → server (JSON text frames):
+          {"event": "start", ...LiveStartEvent}   optional, first
+          {"event": "text", "text": "..."}        append a fragment
+          {"event": "flush"}                      synthesize the buffer now
+          {"event": "stop"}                       flush, finish, close
+
+        Server → client: binary frames of int16 PCM at the model's native
+        rate, interleaved with JSON markers — {"event": "started",
+        "sample_rate": N}, {"event": "segment_end", "text": t} after each
+        utterance, {"event": "flushed"}, {"event": "done"},
+        {"event": "error", "message": m}.
+
+        Utterances synthesize sequentially in arrival order; a dropped
+        socket cancels the in-flight generation at the next decode chunk.
+        Each utterance is an independent request sharing the session's
+        voice/seed — prosody does not carry across utterance boundaries
+        (the offline `/v1/tts` route carries conversation context across
+        its internal chunks; live input trades that for latency).
+        """
+        import json
+
+        from fish_speech_tpu.server.schema import LiveStartEvent
+        from fish_speech_tpu.utils.textseg import split_ready
+
+        ws = web.WebSocketResponse(heartbeat=30)
+        await ws.prepare(request)
+
+        if app["max_inflight"] > 0 and app["inflight"] >= app["max_inflight"]:
+            app["metrics"]["rejected"] += 1
+            await ws.send_json(
+                {"event": "error", "message": "server overloaded, retry later"}
+            )
+            await ws.close()
+            return ws
+
+        opts = LiveStartEvent()
+        buf = ""
+        loop = asyncio.get_running_loop()
+        cancel_ev = threading.Event()
+        app["metrics"]["requests_total"] += 1
+        app["inflight"] += 1
+        outcome = "cancelled"
+
+        async def synth(text: str) -> bool:
+            ereq = TTSRequest(
+                text=text,
+                streaming=True,
+                reference_id=opts.reference_id,
+                use_memory_cache="on" if opts.reference_id else "off",
+                temperature=opts.temperature,
+                top_p=opts.top_p,
+                seed=opts.seed,
+                max_new_tokens=opts.max_new_tokens,
+            )
+            ereq.cancel_check = cancel_ev.is_set
+            queue: asyncio.Queue = asyncio.Queue()
+
+            def worker():
+                try:
+                    for result in engine.inference(ereq):
+                        if cancel_ev.is_set():
+                            break
+                        loop.call_soon_threadsafe(queue.put_nowait, result)
+                finally:
+                    loop.call_soon_threadsafe(queue.put_nowait, None)
+
+            fut = loop.run_in_executor(None, worker)
+            ok = True
+            while True:
+                result = await queue.get()
+                if result is None:
+                    break
+                if result.code == "segment":
+                    pcm = (
+                        np.clip(result.audio[1], -1, 1) * AMPLITUDE
+                    ).astype(np.int16)
+                    await ws.send_bytes(pcm.tobytes())
+                elif result.code == "error":
+                    logger.error("live synth error: %s", result.error)
+                    await ws.send_json(
+                        {"event": "error", "message": str(result.error)}
+                    )
+                    ok = False
+            await fut
+            if ok:
+                await ws.send_json({"event": "segment_end", "text": text})
+            return ok
+
+        try:
+            async for msg in ws:
+                if msg.type != web.WSMsgType.TEXT:
+                    if msg.type == web.WSMsgType.ERROR:
+                        break
+                    continue
+                try:
+                    data = json.loads(msg.data)
+                    event = data.get("event")
+                except (ValueError, AttributeError):
+                    await ws.send_json(
+                        {"event": "error", "message": "frames must be JSON"}
+                    )
+                    continue
+                if event == "start":
+                    try:
+                        opts = LiveStartEvent(
+                            **{k: v for k, v in data.items() if k != "event"}
+                        )
+                    except pydantic.ValidationError as e:
+                        await ws.send_json(
+                            {"event": "error", "message": str(e)}
+                        )
+                        continue
+                    await ws.send_json(
+                        {"event": "started", "sample_rate": engine.sample_rate}
+                    )
+                elif event == "text":
+                    buf += str(data.get("text", ""))
+                    ready, buf = split_ready(buf, max_buffer=opts.max_buffer)
+                    if ready and not await synth(ready):
+                        outcome = "errors"
+                        break
+                elif event in ("flush", "stop"):
+                    ready, buf = split_ready(buf, force=True)
+                    if ready and not await synth(ready):
+                        outcome = "errors"
+                        break
+                    if event == "stop":
+                        await ws.send_json({"event": "done"})
+                        outcome = "completed"
+                        break
+                    await ws.send_json({"event": "flushed"})
+                else:
+                    await ws.send_json(
+                        {"event": "error",
+                         "message": f"unknown event {event!r}"}
+                    )
+        finally:
+            cancel_ev.set()
+            app["inflight"] -= 1
+            app["metrics"][outcome] += 1
+            if not ws.closed:
+                await ws.close()
+        return ws
+
     async def vqgan_encode(request):
         data = await _parse_body(request)
         req_model = ServeVQGANEncodeRequest(**data)
@@ -737,6 +894,7 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
     app.router.add_get("/v1/formats", formats)
     app.router.add_post("/v1/tts", tts)
     app.router.add_post("/v1/audio/speech", openai_speech)
+    app.router.add_get("/v1/tts/live", tts_live)
     app.router.add_post("/v1/vqgan/encode", vqgan_encode)
     app.router.add_post("/v1/vqgan/decode", vqgan_decode)
     app.router.add_post("/v1/references/add", references_add)

@@ -83,6 +83,24 @@ class OpenAISpeechRequest(BaseModel):
     max_new_tokens: Annotated[int, Field(ge=1, le=8192)] = 1024
 
 
+class LiveStartEvent(BaseModel):
+    """`{"event": "start"}` options on the `/v1/tts/live` WebSocket.
+
+    Configures the live (streaming-text-input) session: voice, sampling,
+    and the buffering policy that decides when accumulated text fragments
+    are worth synthesizing (`utils/textseg.py`).
+    """
+
+    reference_id: Optional[str] = None
+    temperature: Annotated[float, Field(ge=0.1, le=1.0)] = 0.8
+    top_p: Annotated[float, Field(ge=0.1, le=1.0)] = 0.8
+    seed: Optional[int] = None
+    max_new_tokens: Annotated[int, Field(ge=1, le=8192)] = 1024
+    # force-flush budget: terminator-free text synthesizes once the buffer
+    # exceeds this many UTF-8 bytes
+    max_buffer: Annotated[int, Field(ge=20, le=4000)] = 400
+
+
 class ServeVQGANEncodeRequest(BaseModel):
     audios: list[bytes]
 

@@ -640,3 +640,121 @@ def test_openai_speech_stored_reference_as_voice(engine):
 
     status, body = run_client(engine, fn)
     assert status == 200 and body[:4] == b"RIFF"
+
+
+# ---- WebSocket live synthesis /v1/tts/live ----
+
+
+def test_live_ws_session(engine):
+    import json
+
+    import aiohttp
+
+    async def fn(client):
+        ws = await client.ws_connect("/v1/tts/live")
+        await ws.send_json({"event": "start", "max_new_tokens": 8, "seed": 1})
+        started = await ws.receive_json()
+        assert started["event"] == "started"
+        assert started["sample_rate"] == engine.sample_rate
+
+        # fragments crossing a sentence boundary: "Hello world." synthesizes
+        # while " And then" keeps buffering
+        await ws.send_json({"event": "text", "text": "Hello wor"})
+        await ws.send_json({"event": "text", "text": "ld. And then"})
+        pcm_bytes = 0
+        while True:
+            msg = await ws.receive()
+            if msg.type == aiohttp.WSMsgType.BINARY:
+                pcm_bytes += len(msg.data)
+            else:
+                data = json.loads(msg.data)
+                assert data["event"] == "segment_end", data
+                assert data["text"] == "Hello world."
+                break
+        assert pcm_bytes > 0 and pcm_bytes % 2 == 0
+
+        # stop flushes the remaining buffer, then closes
+        await ws.send_json({"event": "stop"})
+        pcm2 = 0
+        second = None
+        done = False
+        while True:
+            msg = await ws.receive()
+            if msg.type == aiohttp.WSMsgType.BINARY:
+                pcm2 += len(msg.data)
+            elif msg.type == aiohttp.WSMsgType.TEXT:
+                data = json.loads(msg.data)
+                if data["event"] == "segment_end":
+                    second = data["text"]
+                elif data["event"] == "done":
+                    done = True
+                    break
+            else:
+                break
+        assert done and second == "And then" and pcm2 > 0
+        await ws.close()
+
+    run_client(engine, fn)
+
+
+def test_live_ws_flush_and_budget(engine):
+    import json
+
+    import aiohttp
+
+    async def fn(client):
+        ws = await client.ws_connect("/v1/tts/live")
+        # tiny byte budget: terminator-free text force-flushes on its own
+        await ws.send_json(
+            {"event": "start", "max_new_tokens": 8, "max_buffer": 20}
+        )
+        assert (await ws.receive_json())["event"] == "started"
+        await ws.send_json(
+            {"event": "text", "text": "terminator free text that overflows"}
+        )
+        saw_audio = False
+        while True:
+            msg = await ws.receive()
+            if msg.type == aiohttp.WSMsgType.BINARY:
+                saw_audio = True
+            else:
+                data = json.loads(msg.data)
+                assert data["event"] == "segment_end"
+                break
+        assert saw_audio
+
+        # explicit flush on a short remainder
+        await ws.send_json({"event": "text", "text": "tail"})
+        await ws.send_json({"event": "flush"})
+        events = []
+        while True:
+            msg = await ws.receive()
+            if msg.type == aiohttp.WSMsgType.TEXT:
+                events.append(json.loads(msg.data)["event"])
+                if events[-1] == "flushed":
+                    break
+        assert "segment_end" in events
+        await ws.close()
+
+    run_client(engine, fn)
+
+
+def test_live_ws_bad_frames_get_error_events(engine):
+    async def fn(client):
+        ws = await client.ws_connect("/v1/tts/live")
+        await ws.send_str("this is not json")
+        err = await ws.receive_json()
+        assert err["event"] == "error" and "JSON" in err["message"]
+        await ws.send_json({"event": "bogus"})
+        err = await ws.receive_json()
+        assert err["event"] == "error" and "bogus" in err["message"]
+        await ws.send_json({"event": "start", "temperature": 99})
+        err = await ws.receive_json()
+        assert err["event"] == "error"
+        # the session survives bad frames
+        await ws.send_json({"event": "stop"})
+        done = await ws.receive_json()
+        assert done["event"] == "done"
+        await ws.close()
+
+    run_client(engine, fn)
