@@ -10,7 +10,11 @@ would otherwise silently vanish from wheels).
 import glob
 import importlib
 import pathlib
-import tomllib
+
+try:
+    import tomllib  # stdlib on >=3.11
+except ImportError:  # pragma: no cover - 3.10 fallback (requires-python >=3.10)
+    import tomli as tomllib  # type: ignore[no-redef]
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
