@@ -138,9 +138,14 @@ def _parse():
                              "(robust to transient tunnel stalls) and all "
                              "samples land in extra.fps_samples")
     parser.add_argument("--prompt-len", type=int, default=128)
-    parser.add_argument("--chunk", type=int, default=64,
+    parser.add_argument("--chunk", type=int, default=128,
                         help="decode steps per host sync (each host sync "
-                             "costs ~tens of ms through the device tunnel)")
+                             "costs ~tens of ms through the device tunnel). "
+                             "Default 128 since round 4: the round-3 ~550 s "
+                             "cold-compile scare was a compile-service "
+                             "fluctuation (re-measured cold: 9.1 s), and "
+                             "128-step chunks + int8 KV measure 900-945 f/s "
+                             "vs 815-839 at the old 64/bf16 defaults")
     parser.add_argument("--batch", type=int, default=16,
                         help="concurrent streams (1 = single-stream latency "
                              "benchmark; >1 = serving throughput per chip)")
@@ -203,10 +208,16 @@ def _parse():
     parser.add_argument("--check-tol", type=float, default=0.06,
                         help="fractional regression tolerance for --check "
                              "(chip/tunnel drift measures ~3%%)")
-    parser.add_argument("--kv-int8", action="store_true",
+    parser.add_argument("--kv-int8", action="store_true", default=True,
                         help="int8 KV cache (per-position-per-head scales): "
                              "halves decode KV reads; at 16x2048 serving the "
-                             "KV stream rivals the weight stream")
+                             "KV stream rivals the weight stream. DEFAULT "
+                             "since round 4 (+6%% serving, drift pinned <5%% "
+                             "by tests); quality gating on real checkpoints "
+                             "belongs to serving, where the flag stays "
+                             "opt-in (VERDICT r3 item 2)")
+    parser.add_argument("--kv-bf16", dest="kv_int8", action="store_false",
+                        help="disable the int8 KV cache (bf16 KV)")
     args = parser.parse_args()
     if args.int8 and args.quant == "none":
         args.quant = "int8"
@@ -441,8 +452,15 @@ def run_bench(args):
     # Warmup/compile with the SAME step count as the measured run so every
     # (n_steps, kv_len-bucket) decode signature compiles here — a longer
     # run crosses KV buckets mid-generation and would otherwise pay a
-    # multi-second recompile inside the timed wall.
+    # multi-second recompile inside the timed wall. The signatures are
+    # AOT-compiled in PARALLEL threads first (session.precompile): prefill
+    # and the decode scan are independent programs, and compiling them
+    # back-to-back inside the first generate was the bulk of the 117.6 s
+    # cache-cold driver warmup (BENCH_r03).
     t0 = time.perf_counter()
+    times = session.precompile(args.prompt_len, max_new_tokens=args.steps)
+    print(f"# precompile (parallel): {time.perf_counter()-t0:.1f}s {times}",
+          file=sys.stderr)
     out = run(args.steps, jax.random.PRNGKey(1))
     compile_time = time.perf_counter() - t0
     print(f"# warmup+compile: {compile_time:.1f}s", file=sys.stderr)

@@ -635,6 +635,92 @@ class GenerationSession:
                 return b
         return self.cache_len
 
+    def decode_signatures(self, t_start: int, budget: int,
+                          first_chunk: Optional[int] = None):
+        """The (n_steps, kv_len) decode signatures a run starting at
+        position `t_start` with `budget` new tokens dispatches (mirrors
+        the host loops in generate_stream / generate_batch)."""
+        sigs = []
+        pos, left = t_start, budget - 1
+        n = int(first_chunk or self.first_chunk_size)
+        while left > 0:
+            sig = (n, self._kv_bucket(pos + n + 1))
+            if sig not in sigs:
+                sigs.append(sig)
+            pos += n
+            left -= n
+            n = self.decode_chunk_size
+        return sigs
+
+    def precompile(self, prompt_len: int, max_new_tokens: int = 0,
+                   batch: Optional[int] = None,
+                   first_chunk: Optional[int] = None) -> dict:
+        """AOT-compile every jit program a generate/generate_batch run will
+        dispatch, in PARALLEL threads, without touching the live cache.
+
+        Cold compile of the serving programs is the dominant startup cost
+        (prefill + the 64-step decode scan compile SERIALLY inside the
+        first generate: measured 117.6 s on a cache-cold driver machine).
+        `jax.jit.lower(...).compile()` builds the same HLO the real call
+        dispatches, so with the persistent compilation cache enabled the
+        real call's compile step becomes a cache hit — and independent
+        programs compile concurrently here instead of back-to-back. The
+        big operands (cache) are passed as ShapeDtypeStructs: no second
+        KV allocation, no device work. Returns {name: seconds}.
+        """
+        cfg, scfg = self.cfg, self.scfg
+        b = int(batch or self.cache["k"].shape[1])
+        bucket = min(pick_bucket(prompt_len, self.cache_len), cfg.max_seq_len)
+        budget = (max_new_tokens
+                  if max_new_tokens and prompt_len + max_new_tokens <= cfg.max_seq_len
+                  else cfg.max_seq_len - prompt_len)
+
+        cache_abs = jax.eval_shape(
+            lambda: dual_ar.init_kv_cache(cfg, b, self.cache_len, self.dtype,
+                                          quant=self.kv_quant)
+        )
+        inp = jnp.zeros((b, cfg.num_codebooks + 1, bucket), jnp.int32)
+        offsets = jnp.zeros((b,), jnp.int32)
+        key = jax.random.PRNGKey(0)
+        temperature, top_p, top_k = (jnp.float32(0.8), jnp.float32(0.8),
+                                     jnp.int32(30))
+        token = jnp.zeros((b, cfg.num_codebooks + 1), jnp.int32)
+        pos = jnp.int32(prompt_len)
+        window = jnp.zeros((b, scfg.ras_win_size), jnp.int32)
+        kv_offsets = offsets if b > 1 else None
+
+        jobs = {
+            f"prefill_{bucket}": lambda: prefill_step.lower(
+                self.params, cfg, scfg, inp, cache_abs, offsets,
+                jnp.int32(prompt_len), key, temperature, top_p, top_k,
+                None, None,
+            ).compile()
+        }
+        for n, kv_len in self.decode_signatures(prompt_len, budget,
+                                                first_chunk):
+            jobs[f"decode_{n}@{kv_len}"] = (
+                lambda n=n, kv_len=kv_len: decode_chunk.lower(
+                    self.params, cfg, scfg, n, token, cache_abs, pos,
+                    window, key, temperature, top_p, top_k, kv_offsets,
+                    kv_len,
+                ).compile()
+            )
+
+        import concurrent.futures
+
+        times = {}
+
+        def run(name, fn):
+            t0 = time.perf_counter()
+            fn()
+            times[name] = round(time.perf_counter() - t0, 1)
+
+        with concurrent.futures.ThreadPoolExecutor(len(jobs)) as ex:
+            futs = [ex.submit(run, name, fn) for name, fn in jobs.items()]
+            for f in futs:
+                f.result()
+        return times
+
     # -- voice-clone prefix cache (see __init__ and PrefixStore) --------
 
     @property

@@ -76,6 +76,33 @@ def test_generate_budget_and_shapes(session, tokenizer):
     assert (seq[1:] < session.cfg.codebook_size).all()
 
 
+def test_decode_signatures_mirror_host_loop(session):
+    # first chunk = first_chunk_size (== decode_chunk_size here, 8), then
+    # steady chunks; kv bucket from the session's kv_buckets
+    sigs = session.decode_signatures(12, 20)
+    assert sigs == [(8, session._kv_bucket(12 + 8 + 1))]
+    sigs = session.decode_signatures(12, 200, first_chunk=2)
+    assert sigs[0] == (2, session._kv_bucket(12 + 2 + 1))
+    assert all(n == 8 for n, _ in sigs[1:])
+    # kv_len is non-decreasing along the run
+    kvs = [kv for _, kv in sigs]
+    assert kvs == sorted(kvs)
+
+
+def test_precompile_matches_dispatch_signatures(session, tokenizer):
+    """precompile AOT-builds the same programs generate dispatches: a
+    generate right after precompile must be bit-identical to one from an
+    untouched session (precompile touches no live state)."""
+    times = session.precompile(8, max_new_tokens=10)
+    assert any(k.startswith("prefill_") for k in times)
+    assert any(k.startswith("decode_") for k in times)
+    prompt = np.zeros((session.cfg.num_codebooks + 1, 8), dtype=np.int32)
+    prompt[0] = tokenizer.encode("abcdefgh")
+    s1 = session.generate(prompt, jax.random.PRNGKey(7), max_new_tokens=10)
+    s2 = session.generate(prompt, jax.random.PRNGKey(7), max_new_tokens=10)
+    np.testing.assert_array_equal(s1, s2)
+
+
 def test_generate_deterministic_given_key(session, tokenizer):
     prompt = np.zeros((session.cfg.num_codebooks + 1, 8), dtype=np.int32)
     prompt[0] = tokenizer.encode("abcdefgh")
