@@ -256,3 +256,61 @@ def test_eval_in_context_cli(tmp_path, tokenizer):
     assert len(entry["per_frame"]) == tgt.shape[1]
     assert np.isfinite(entry["mean_loss"]) and entry["mean_loss"] > 0
     assert np.allclose(entry["mean_loss"], np.mean(entry["per_frame"]))
+
+
+def test_eval_quality_harness(tmp_path, monkeypatch):
+    """`tools/eval_quality.py` (the gate for the opt-in serving flags; the
+    reference publishes the numbers in README.md:92-101 but ships no eval
+    code): manifest -> engine synthesis -> mock-ASR WER + spectral-proxy
+    SIM -> reference-format table, with a kv-int8 A/B in one invocation."""
+    import json
+
+    from fish_speech_tpu.config import dac_tiny
+    from fish_speech_tpu.tools.eval_quality import main
+
+    cfg = dac_tiny()
+    rng = np.random.default_rng(0)
+    ref_wav = tmp_path / "speaker.wav"
+    write_wav(ref_wav, rng.normal(size=cfg.frame_length * 4).astype(np.float32) * 0.1,
+              cfg.sample_rate)
+
+    manifest = tmp_path / "manifest.jsonl"
+    items = [
+        {"id": "en_1", "text": "hello there", "lang": "en"},
+        {"id": "zh_1", "text": "one two three", "lang": "zh",
+         "ref_audio": str(ref_wav), "ref_text": "ref"},
+    ]
+    manifest.write_text("\n".join(json.dumps(i) for i in items))
+
+    out = tmp_path / "eval_out"
+    runner = CliRunner()
+    r = runner.invoke(
+        main,
+        ["--manifest", str(manifest), "--out-dir", str(out), "--tiny",
+         "--cpu", "--asr", "mock", "--sim", "spectral", "--ab", "kv-int8",
+         "--max-new-tokens", "8"],
+        catch_exceptions=False,
+    )
+    assert r.exit_code == 0, r.output
+    report = json.loads((out / "report.json").read_text())
+    base = report["configs"]["baseline"]["aggregates"]
+    # mock ASR echoes targets -> WER exactly 0 for both langs
+    assert base["wer_en"] == 0.0 and base["wer_zh"] == 0.0
+    assert -1.0 <= base["sim_mean"] <= 1.0
+    ab = report["configs"]["kv-int8"]
+    assert "delta_vs_baseline" in ab and "wer_en" in ab["delta_vs_baseline"]
+    # every item synthesized under both configs
+    assert len(ab["items"]) == 2
+    assert (out / "report.md").read_text().startswith("| Benchmark |")
+    assert "Seed-TTS Eval — WER (Chinese)" in (out / "report.md").read_text()
+
+
+def test_eval_quality_error_rate_units():
+    """WER is word-level for en, char-level for zh; normalization strips
+    punctuation/case (Seed-TTS-eval conventions)."""
+    from fish_speech_tpu.tools.eval_quality import error_rate
+
+    assert error_rate("Hello, WORLD!", "hello world", "en") == 0.0
+    assert error_rate("hello big world", "hello world", "en") == 0.5
+    assert error_rate("abc", "abd", "zh") == pytest.approx(1 / 3)
+    assert error_rate("", "hello world", "en") == 1.0
