@@ -83,6 +83,13 @@ class TTSInferenceEngine:
         self.references = ReferenceLoader(references_dir)
         self.references.encode_reference = self.encode_reference
         self.lock = threading.Lock()
+        # raw-codec endpoint cache (see encode_references_batch)
+        from collections import OrderedDict
+
+        self._vq_cache = OrderedDict()
+        self._vq_cache_lock = threading.Lock()
+        self.vq_cache_hits = 0
+        self.vq_cache_misses = 0
         self._decode_jit = jax.jit(
             lambda p, c: dac_from_indices(p, self.codec_cfg, c),
             static_argnums=(),
@@ -128,6 +135,101 @@ class TTSInferenceEngine:
         audio = self._decode_jit(self.codec_params, jnp.asarray(padded[None]))
         n = t * self.codec_cfg.frame_length
         return np.asarray(audio[0, 0, :n], dtype=np.float32)
+
+    # -- batched/cached raw-codec surface (reference
+    #    `tools/server/model_utils.py:31-86`: 10k-entry LRU over encodes,
+    #    micro-batch-8 decodes). Keying is PER AUDIO (sha256) rather than
+    #    the reference's whole-request tuple, so a request repeating one
+    #    known clip among new ones still hits for that clip. --
+
+    VQ_CACHE_SIZE = 10_000  # reference model_utils.py:31
+    VQ_MICRO_BATCH = 8  # reference model_utils.py:75
+
+    def _micro_rows(self, n: int) -> int:
+        """Pad a micro-batch to a power-of-two row count so each bucket
+        compiles at most 4 batch signatures (1/2/4/8)."""
+        for r in (1, 2, 4, 8):
+            if n <= r:
+                return r
+        return self.VQ_MICRO_BATCH
+
+    def encode_references_batch(self, audios) -> list:
+        """[audio bytes] -> [(num_codebooks, T) codes], LRU-cached per clip
+        and batch-encoded per frame-bucket for the misses."""
+        import hashlib
+
+        keys = [hashlib.sha256(a).digest() for a in audios]
+        out = [None] * len(audios)
+        misses = []
+        with self._vq_cache_lock:
+            for i, k in enumerate(keys):
+                if k in self._vq_cache:
+                    self._vq_cache.move_to_end(k)
+                    out[i] = self._vq_cache[k]
+                    self.vq_cache_hits += 1
+                else:
+                    misses.append(i)
+                    self.vq_cache_misses += 1
+        if not misses:
+            return out
+
+        frame = self.codec_cfg.frame_length
+        groups = {}  # bucket -> [(idx, wav, n_frames)]
+        for i in misses:
+            wav = load_audio(audios[i], self.codec_cfg.sample_rate)
+            n_frames = max(-(-len(wav) // frame), 1)
+            bucket = next(
+                (b for b in self.code_buckets if n_frames <= b), n_frames
+            )
+            groups.setdefault(bucket, []).append((i, wav, n_frames))
+
+        for bucket, items in groups.items():
+            for j in range(0, len(items), self.VQ_MICRO_BATCH):
+                chunk = items[j : j + self.VQ_MICRO_BATCH]
+                rows = self._micro_rows(len(chunk))
+                padded = np.zeros((rows, 1, bucket * frame), dtype=np.float32)
+                for r, (_, wav, _) in enumerate(chunk):
+                    padded[r, 0, : len(wav)] = wav
+                codes, _ = self._encode_jit(
+                    self.codec_params, jnp.asarray(padded)
+                )
+                codes = np.asarray(codes)
+                for r, (i, _, n_frames) in enumerate(chunk):
+                    out[i] = codes[r][:, :n_frames]
+        with self._vq_cache_lock:
+            for i in misses:
+                self._vq_cache[keys[i]] = out[i]
+                self._vq_cache.move_to_end(keys[i])
+            while len(self._vq_cache) > self.VQ_CACHE_SIZE:
+                self._vq_cache.popitem(last=False)
+        return out
+
+    def decode_vq_batch(self, tokens_list) -> list:
+        """[(num_codebooks, T_i) codes] -> [(T_samples_i,) float32], padded
+        per code-bucket and decoded in micro-batches of 8 (one weight read
+        per micro-batch instead of one per item)."""
+        out = [None] * len(tokens_list)
+        groups = {}
+        for i, codes in enumerate(tokens_list):
+            t = codes.shape[1]
+            bucket = next((b for b in self.code_buckets if t <= b), t)
+            groups.setdefault(bucket, []).append((i, codes, t))
+        frame = self.codec_cfg.frame_length
+        for bucket, items in groups.items():
+            for j in range(0, len(items), self.VQ_MICRO_BATCH):
+                chunk = items[j : j + self.VQ_MICRO_BATCH]
+                rows = self._micro_rows(len(chunk))
+                padded = np.zeros(
+                    (rows, tokens_list[0].shape[0], bucket), dtype=np.int32
+                )
+                for r, (_, codes, t) in enumerate(chunk):
+                    padded[r, :, :t] = codes
+                audio = np.asarray(
+                    self._decode_jit(self.codec_params, jnp.asarray(padded))
+                )
+                for r, (i, _, t) in enumerate(chunk):
+                    out[i] = audio[r, 0, : t * frame].astype(np.float32)
+        return out
 
     def _decode_vq_device(self, codes_dev):
         """Device-resident variant: dispatch the codec decode on a jax

@@ -765,16 +765,20 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
         return ws
 
     async def vqgan_encode(request):
+        # LRU-cached + micro-batched (engine.encode_references_batch;
+        # reference `tools/server/model_utils.py:51-66`): repeated clips
+        # skip the codec entirely, fresh ones share batched encodes.
         data = await _parse_body(request)
         req_model = ServeVQGANEncodeRequest(**data)
         loop = asyncio.get_running_loop()
-        tokens = await loop.run_in_executor(
-            None,
-            lambda: [engine.encode_reference(a).tolist() for a in req_model.audios],
+        codes = await loop.run_in_executor(
+            None, lambda: engine.encode_references_batch(req_model.audios)
         )
         from fish_speech_tpu.server.schema import ServeVQGANEncodeResponse
 
-        return _msgpack_response(ServeVQGANEncodeResponse(tokens=tokens))
+        return _msgpack_response(
+            ServeVQGANEncodeResponse(tokens=[c.tolist() for c in codes])
+        )
 
     async def vqgan_decode(request):
         data = await _parse_body(request)
@@ -782,11 +786,9 @@ def create_app(engine: TTSInferenceEngine, api_key: Optional[str] = None,
         loop = asyncio.get_running_loop()
 
         def run():
-            out = []
-            for tok in req_model.tokens:
-                audio = engine.decode_vq_tokens(np.asarray(tok, dtype=np.int32))
-                out.append(audio.astype(np.float16).tobytes())
-            return out
+            toks = [np.asarray(t, dtype=np.int32) for t in req_model.tokens]
+            return [a.astype(np.float16).tobytes()
+                    for a in engine.decode_vq_batch(toks)]
 
         audios = await loop.run_in_executor(None, run)
         from fish_speech_tpu.server.schema import ServeVQGANDecodeResponse

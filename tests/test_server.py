@@ -758,3 +758,29 @@ def test_live_ws_bad_frames_get_error_events(engine):
         await ws.close()
 
     run_client(engine, fn)
+
+
+def test_vqgan_batch_cache_and_equivalence(engine):
+    """The raw-codec surface's LRU + micro-batching (reference
+    `tools/server/model_utils.py:31-86`): batched encode == per-item
+    encode, repeats hit the cache, batched decode == per-item decode."""
+    frame = engine.codec_cfg.frame_length
+    wavs = [make_wav_bytes(frame * k) for k in (2, 3, 40)]  # 2 buckets
+
+    m0 = engine.vq_cache_misses
+    batch = engine.encode_references_batch(wavs)
+    assert engine.vq_cache_misses == m0 + 3
+    for w, c in zip(wavs, batch):
+        np.testing.assert_array_equal(c, engine.encode_reference(w))
+
+    h0 = engine.vq_cache_hits
+    again = engine.encode_references_batch([wavs[1], wavs[0]])
+    assert engine.vq_cache_hits == h0 + 2
+    np.testing.assert_array_equal(again[0], batch[1])
+    np.testing.assert_array_equal(again[1], batch[0])
+
+    outs = engine.decode_vq_batch(batch)
+    for c, a in zip(batch, outs):
+        want = engine.decode_vq_tokens(c)
+        assert a.shape == want.shape
+        np.testing.assert_allclose(a, want, atol=1e-5)
