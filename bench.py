@@ -6,12 +6,14 @@ REAL generation path (jitted chunked decode + on-device sampling + host
 chunk sync), and reports speed as a multiple of realtime at the codec's
 21.53 frames/s.
 
-Default configuration is the SERVING benchmark: int8 weights, 16 concurrent
-streams through the lockstep batched decode (aggregate frames/s per chip)
-at the reference's own default context length of 2048 (`llama.py:40`) —
-the apples-to-apples comparison with the reference headline, which was also
-measured through batched serving (SGLang on H200). Per-stream speed at this
-config is ~48 frames/s = 2.2x realtime, so streaming latency is preserved.
+Default configuration is the SERVING benchmark: int8 weights + int8 KV +
+128-step chunks, 32 concurrent streams through the lockstep batched decode
+(aggregate frames/s per chip) at the reference's own default context
+length of 2048 (`llama.py:40`) — the apples-to-apples comparison with the
+reference headline, which was also measured through batched serving
+(SGLang on H200). int8 KV (default since round 4) is what lets 32 full-
+context streams fit the 16 GB chip. Per-stream speed at this config is
+~45 frames/s = 2.1x realtime, so streaming latency is preserved.
 `--batch 1` gives the single-stream latency benchmark instead; `--batch 8
 --max-seq 4128` reproduces the long-context serving numbers.
 
@@ -146,9 +148,16 @@ def _parse():
                              "fluctuation (re-measured cold: 9.1 s), and "
                              "128-step chunks + int8 KV measure 900-945 f/s "
                              "vs 815-839 at the old 64/bf16 defaults")
-    parser.add_argument("--batch", type=int, default=16,
+    parser.add_argument("--batch", type=int, default=None,
                         help="concurrent streams (1 = single-stream latency "
-                             "benchmark; >1 = serving throughput per chip)")
+                             "benchmark; >1 = serving throughput per chip). "
+                             "Default 32 since round 4 — int8 KV (now "
+                             "default) halves the cache so 32 x 2048-ctx "
+                             "streams fit the 16 GB chip (1428-1452 f/s = "
+                             "66-67x realtime, 44.6 f/s = 2.1x realtime per "
+                             "stream); burst mode keeps its 16-slot pool "
+                             "(32 clients / 16 pool = the pinned 2x-"
+                             "oversubscription scenario)")
     parser.add_argument("--int8", action="store_true",
                         help="shorthand for --quant int8")
     parser.add_argument("--max-seq", type=int, default=None,
@@ -219,6 +228,8 @@ def _parse():
     parser.add_argument("--kv-bf16", dest="kv_int8", action="store_false",
                         help="disable the int8 KV cache (bf16 KV)")
     args = parser.parse_args()
+    if args.batch is None:
+        args.batch = 16 if args.burst else 32
     if args.int8 and args.quant == "none":
         args.quant = "int8"
     return args

