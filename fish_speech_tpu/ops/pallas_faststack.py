@@ -79,8 +79,6 @@ it is NOT wired into the production decode path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
