@@ -70,7 +70,7 @@ VERDICT — measured negative, kept as the proof (VERDICT r3 item 1):
      10x single-stream target (215 f/s) needs 1.7 TB/s effective —
      beyond the v5e's 819 GB/s spec sheet, i.e. PHYSICALLY unreachable
      for this 4.97B dual-AR architecture on one chip. 10x-per-chip is
-     met as a serving number (41.8-43.9x at 16 streams, bench.py).
+     met as a serving number (66-68x at 32 streams, bench.py).
 
 The probe is kept runnable for re-measurement on future hardware
 (`python -m fish_speech_tpu.ops.pallas_faststack [R...] [bf16|w8a8] [big]`);
