@@ -230,6 +230,16 @@ def _parse():
     args = parser.parse_args()
     if args.batch is None:
         args.batch = 16 if args.burst else 32
+    # retry-ladder overrides (set by the re-exec fallback in main(): a hard
+    # device OOM poisons the in-process client — RESOURCE_EXHAUSTED then
+    # persists down to batch 1 even though the shapes fit, measured on the
+    # 48x2k probe — so each ladder step must be a FRESH process)
+    if os.environ.get("BENCH_FORCE_BATCH"):
+        args.batch = int(os.environ["BENCH_FORCE_BATCH"])
+    if os.environ.get("BENCH_FORCE_TRAIN_BATCH"):
+        args.train_batch = int(os.environ["BENCH_FORCE_TRAIN_BATCH"])
+    if os.environ.get("BENCH_FORCE_SMALL"):
+        args.small = True
     if args.int8 and args.quant == "none":
         args.quant = "int8"
     return args
@@ -257,26 +267,39 @@ def main():
             raise
         except Exception as e:  # robustness for the unattended driver run:
             # OOM or compile failure at the serving config must still
-            # produce a benchmark line — retry down the ladder.
+            # produce a benchmark line — retry down the ladder in a FRESH
+            # process (os.execv): a hard device OOM poisons the in-process
+            # client, and RESOURCE_EXHAUSTED then persists at every
+            # smaller batch (measured: a 48x2k OOM dragged the ladder down
+            # through 6/3/1/tiny, all spuriously exhausted).
             print(
                 f"# bench failed at batch={args.batch} quant={args.quant}: "
                 f"{type(e).__name__}: {str(e)[:200]}",
-                file=sys.stderr,
+                file=sys.stderr, flush=True,
             )
+            depth = int(os.environ.get("BENCH_RETRY_DEPTH", "0"))
+            if depth >= 8:
+                print("# retry ladder exhausted (depth 8)", file=sys.stderr)
+                raise
+            os.environ["BENCH_RETRY_DEPTH"] = str(depth + 1)
             if args.train:
                 # train ladder: shrink the train batch, then fall to tiny
                 if args.train_batch > 1:
-                    args.train_batch = max(args.train_batch // 2, 1)
+                    os.environ["BENCH_FORCE_TRAIN_BATCH"] = str(
+                        max(args.train_batch // 2, 1))
                 elif not args.small:
-                    args.small = True
+                    os.environ["BENCH_FORCE_SMALL"] = "1"
                 else:
                     raise
             elif args.batch > 1:
-                args.batch = max(args.batch // 2, 1)
+                os.environ["BENCH_FORCE_BATCH"] = str(max(args.batch // 2, 1))
             elif not args.small:
-                args.small = True
+                os.environ["BENCH_FORCE_SMALL"] = "1"
             else:
                 raise
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def _emit(result, args):
