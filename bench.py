@@ -933,6 +933,13 @@ def run_burst(args):
         return first, done_t, sum(frames), max(d for d in done_t if d)
 
     t0 = time.perf_counter()
+    from fish_speech_tpu.generate import pick_bucket
+
+    buckets = sorted({pick_bucket(p.shape[1], batcher.cache_len)
+                      for p in prompts})
+    times = batcher.precompile(buckets=buckets)
+    print(f"# precompile (parallel): {time.perf_counter()-t0:.1f}s "
+          f"({len(times)} programs)", file=sys.stderr)
     burst(0)  # warmup: compiles direct+parked prefills, inserts, chunks
     print(f"# warmup+compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 

@@ -627,6 +627,83 @@ class ContinuousBatcher:
             return None  # suffix pad tail would overrun the cache
         return m, rows, sbucket
 
+    def precompile(self, buckets=(64, 128, 1024)) -> dict:
+        """AOT-compile every admission/decode jit signature the pool can
+        dispatch, in PARALLEL threads (same mechanism as
+        `GenerationSession.precompile`): the programs are independent, and
+        compiling them serially inside the first burst was the bulk of a
+        ~100 s cache-cold warmup. Operands are ShapeDtypeStructs for the
+        big buffers (no second cache allocation, no device work); the
+        later no-op warmup calls in `_ensure_bucket_compiled` then hit the
+        persistent compilation cache. Returns {signature: seconds}."""
+        import concurrent.futures
+
+        cfg, scfg = self.cfg, self.scfg
+        p = self.pool_size
+        pool_abs = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.pool
+        )
+        token = jnp.zeros((p, cfg.num_codebooks + 1), jnp.int32)
+        pos = jnp.zeros((p,), jnp.int32)
+        window = jnp.zeros((p, scfg.ras_win_size), jnp.int32)
+        keys = jnp.zeros((p, 2), jnp.uint32)
+        active = jnp.zeros((p,), bool)
+        vec_f = jnp.zeros((p,), jnp.float32)
+        vec_i = jnp.full((p,), 30, jnp.int32)
+
+        jobs = {}
+        for n in sorted({self.first_chunk, self.chunk}):
+            for kv_len in self.kv_buckets:
+                jobs[f"decode_{n}@{kv_len}"] = (
+                    lambda n=n, kv=kv_len: decode_chunk_multi.lower(
+                        self.params, cfg, scfg, n, token, pool_abs, pos,
+                        window, keys, active, vec_f, vec_f, vec_i, kv,
+                    ).compile()
+                )
+
+        ks = sorted({g for g in (16, 4, 1) if g <= max(p, 1)} | {1})
+        for bucket in buckets:
+            for k in ks:
+                cache_abs = jax.eval_shape(
+                    lambda k=k, b=bucket: dual_ar.init_kv_cache(
+                        cfg, k, b, self.dtype, quant=self.kv_quant
+                    )
+                )
+                zi = jnp.zeros((k, cfg.num_codebooks + 1, bucket), jnp.int32)
+                ends = jnp.ones((k,), jnp.int32)
+                pks = _seed_keys(jnp.zeros((k,), jnp.uint32))
+                ones = jnp.ones((k,), jnp.float32)
+                ones_i = jnp.ones((k,), jnp.int32)
+                jobs[f"park_{k}@{bucket}"] = (
+                    lambda zi=zi, ca=cache_abs, ends=ends, pks=pks,
+                    ones=ones, ones_i=ones_i: prefill_group_parked.lower(
+                        self.params, cfg, scfg, zi, ca, ends, pks, ones,
+                        ones, ones_i,
+                    ).compile()
+                )
+                jobs[f"scatter_{k}@{bucket}"] = (
+                    lambda ca=cache_abs: scatter_parked_rows.lower(
+                        pool_abs, ca, jnp.zeros((p,), jnp.int32),
+                        jnp.arange(p, dtype=jnp.int32),
+                        jnp.zeros((p,), bool),
+                    ).compile()
+                )
+
+        times = {}
+
+        def run(name, fn):
+            t0 = _time.perf_counter()
+            fn()
+            times[name] = round(_time.perf_counter() - t0, 1)
+
+        with concurrent.futures.ThreadPoolExecutor(
+            min(len(jobs), 16)
+        ) as ex:
+            futs = [ex.submit(run, name, fn) for name, fn in jobs.items()]
+            for f in futs:
+                f.result()
+        return times
+
     def _ensure_bucket_compiled(self, bucket: int):
         """Deterministically compile every admission signature this bucket
         can produce, BEFORE the first real admission uses it. Admission

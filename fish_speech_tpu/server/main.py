@@ -107,6 +107,13 @@ def warm_up(engine):
     from fish_speech_tpu.engine.tts import TTSRequest
 
     t0 = time.time()
+    if getattr(engine.session, "concurrent", False):
+        # parallel AOT of every admission/decode signature first — the
+        # warmup burst below then dispatches against a hot persistent
+        # cache instead of compiling each program serially
+        times = engine.session.batcher.precompile()
+        logger.info("Batcher precompile (parallel): %.1fs over %d programs",
+                    time.time() - t0, len(times))
     for result in engine.inference(TTSRequest(text="Hello world.", max_new_tokens=32)):
         if result.code == "error":
             raise RuntimeError(f"Warmup failed: {result.error}")
