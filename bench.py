@@ -39,14 +39,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
 def _enable_compile_cache():
-    import jax
+    from fish_speech_tpu.utils.compile_cache import enable_compile_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
-    )
-    # the serving programs take 10-40 s each to build; persist anything
-    # non-trivial so driver/verify reruns start in seconds
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    enable_compile_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 
 def _require_device(timeout_s: float = None):

@@ -56,6 +56,7 @@ import numpy as np
 from fish_speech_tpu.config import DualARConfig, SamplingConfig
 from fish_speech_tpu.ops.sampling import check_top_k
 from fish_speech_tpu.generate import (
+    PROMPT_BUCKETS,
     PrefixStore,
     decode_chunk_multi,
     pick_bucket,
@@ -448,10 +449,13 @@ class ContinuousBatcher:
         #    of fragmentation.
         parked_rows = sum(pk.rows_alloc for pk in self.parked)
         while self._overflow and parked_rows < self.park_max_rows:
+            n_overflow = len(self._overflow)
             self._park_group(self.park_max_rows - parked_rows)
             new_rows = sum(pk.rows_alloc for pk in self.parked)
-            if new_rows == parked_rows:
-                break  # group died instantly (im_end at prefill); re-check
+            if new_rows == parked_rows and len(self._overflow) == n_overflow:
+                break  # no progress at all (defensive; cannot recur)
+            # a group that died instantly (im_end at prefill) still shrank
+            # the overflow list — keep front-loading the rest
             parked_rows = new_rows
 
         return admitted
@@ -627,7 +631,7 @@ class ContinuousBatcher:
             return None  # suffix pad tail would overrun the cache
         return m, rows, sbucket
 
-    def precompile(self, buckets=(64, 128, 1024)) -> dict:
+    def precompile(self, buckets=None) -> dict:
         """AOT-compile every admission/decode jit signature the pool can
         dispatch, in PARALLEL threads (same mechanism as
         `GenerationSession.precompile`): the programs are independent, and
@@ -635,10 +639,24 @@ class ContinuousBatcher:
         ~100 s cache-cold warmup. Operands are ShapeDtypeStructs for the
         big buffers (no second cache allocation, no device work); the
         later no-op warmup calls in `_ensure_bucket_compiled` then hit the
-        persistent compilation cache. Returns {signature: seconds}."""
+        persistent compilation cache. Returns {signature: seconds}.
+
+        NOTE: only effective when the persistent compilation cache is
+        active (`utils.compile_cache.enable_compile_cache`; the server and
+        bench both call it) — AOT executables are discarded, the payoff is
+        the later dispatch's cache hit.
+
+        buckets: prompt buckets to cover; default = every PROMPT_BUCKET a
+        request can legally produce (prompts are bounded by max_seq_len),
+        so a production server never pays a serial mid-serving prefill
+        compile for an unusual prompt length. Callers with a known prompt
+        set (the bench) pass exactly theirs."""
         import concurrent.futures
 
         cfg, scfg = self.cfg, self.scfg
+        if buckets is None:
+            buckets = tuple(b for b in PROMPT_BUCKETS
+                            if b < cfg.max_seq_len) or (cfg.max_seq_len,)
         p = self.pool_size
         pool_abs = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.pool
@@ -823,13 +841,18 @@ class ContinuousBatcher:
                 self._wake.clear()
                 continue
 
-            # streaming latency: right after an admission — or while any
-            # request is STILL WAITING for its admission prefill (overflow
-            # past the parked-row budget) — run a SHORT chunk so first
-            # frames / the next park happen quickly; steady state uses the
-            # full chunk (one extra compile, same pattern as
-            # GenerationSession's first_chunk_size)
-            n = self.first_chunk if (admitted or self._overflow) else self.chunk
+            # streaming latency: right after an admission — or while
+            # overflow requests are STILL WAITING for their admission
+            # prefill AND parked-row budget remains (a park will actually
+            # happen next pass) — run a SHORT chunk so first frames / the
+            # next park come quickly. Under SUSTAINED overload (budget
+            # exhausted, overflow can only drain when slots free) chunks
+            # stay full-length: shortening them there would be 8x the
+            # host syncs for the whole backlog with nothing to park.
+            waiting_park = self._overflow and (
+                sum(pk.rows_alloc for pk in self.parked) < self.park_max_rows
+            )
+            n = self.first_chunk if (admitted or waiting_park) else self.chunk
             max_pos = max(
                 (s.pos for s in self.slots if s.active), default=0
             )

@@ -111,30 +111,14 @@ class TTSInferenceEngine:
     def encode_reference(self, audio_bytes: bytes) -> np.ndarray:
         """Audio bytes -> (num_codebooks, T) codes.
 
-        Audio is padded to a frame-bucket so the jitted encode compiles once
-        per bucket (the codec encoder is causal, so the padded tail only
-        adds frames past the true length, which are sliced off)."""
-        wav = load_audio(audio_bytes, self.codec_cfg.sample_rate)
-        frame = self.codec_cfg.frame_length
-        n_frames = max(-(-len(wav) // frame), 1)
-        bucket = next(
-            (b for b in self.code_buckets if n_frames <= b), n_frames
-        )
-        padded = np.zeros(bucket * frame, dtype=np.float32)
-        padded[: len(wav)] = wav
-        audio = jnp.asarray(padded[None, None, :])
-        codes, _ = self._encode_jit(self.codec_params, audio)
-        return np.asarray(codes[0])[:, :n_frames]
+        Thin wrapper over the batched/cached path (ONE copy of the
+        bucket/pad/trim logic; batch == single equality is pinned by
+        tests): reference encodes get the LRU for free."""
+        return self.encode_references_batch([audio_bytes])[0]
 
     def decode_vq_tokens(self, codes: np.ndarray) -> np.ndarray:
         """(num_codebooks, T) codes -> (T_samples,) float waveform."""
-        t = codes.shape[1]
-        bucket = next((b for b in self.code_buckets if t <= b), t)
-        padded = np.zeros((codes.shape[0], bucket), dtype=np.int32)
-        padded[:, :t] = codes
-        audio = self._decode_jit(self.codec_params, jnp.asarray(padded[None]))
-        n = t * self.codec_cfg.frame_length
-        return np.asarray(audio[0, 0, :n], dtype=np.float32)
+        return self.decode_vq_batch([np.asarray(codes, dtype=np.int32)])[0]
 
     # -- batched/cached raw-codec surface (reference
     #    `tools/server/model_utils.py:31-86`: 10k-entry LRU over encodes,

@@ -696,6 +696,11 @@ class GenerationSession:
                 None, None,
             ).compile()
         }
+        # mirror the dispatch sites exactly: generate_batch (b > 1) defaults
+        # its first chunk to decode_chunk_size, generate_stream (b == 1) to
+        # the session's first_chunk_size
+        if first_chunk is None and b > 1:
+            first_chunk = self.decode_chunk_size
         for n, kv_len in self.decode_signatures(prompt_len, budget,
                                                 first_chunk):
             jobs[f"decode_{n}@{kv_len}"] = (

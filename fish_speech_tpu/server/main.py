@@ -190,6 +190,12 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     args = parse_args(argv)
 
+    # must precede any compile: warm_up's parallel AOT precompile only
+    # helps when the later jit dispatch finds the program in this cache
+    from fish_speech_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from fish_speech_tpu.parallel.mesh import init_distributed
 
     init_distributed(args.coordinator, args.num_hosts, args.host_id)

@@ -161,7 +161,13 @@ def synthesize_manifest(engine, items, out_dir: Path, tag: str,
 
 def score(results, asr_fn: Optional[Callable], sim_fn: Optional[Callable]):
     """Score synthesized items; returns per-item rows + per-lang WER and
-    mean SIM aggregates."""
+    mean SIM aggregates.
+
+    Per-language WER is CORPUS-LEVEL (total edit distance / total reference
+    tokens, the Seed-TTS-eval convention) — a mean of per-utterance rates
+    would let short utterances dominate the flag-flip gate (a 1-edit 2-word
+    clip next to a clean 100-word clip is 0.98% corpus WER, not 25%).
+    Per-item rates stay in the rows for inspection."""
     rows, by_lang, sims = [], {}, []
     for item, path, dt in results:
         lang = item.get("lang", "en")
@@ -170,16 +176,20 @@ def score(results, asr_fn: Optional[Callable], sim_fn: Optional[Callable]):
         if asr_fn is not None:
             hyp = asr_fn(str(path), lang)
             target = item.get("target", item["text"])
+            h = normalize_text(hyp, lang)
+            r = normalize_text(target, lang)
+            dist = edit_distance(h, r)
             row["transcript"] = hyp
-            row["wer"] = round(error_rate(hyp, target, lang), 4)
-            by_lang.setdefault(lang, []).append(row["wer"])
+            row["wer"] = round(dist / len(r), 4) if r else (0.0 if not h else 1.0)
+            edits, ref_len = by_lang.setdefault(lang, [0, 0])
+            by_lang[lang] = [edits + dist, ref_len + len(r)]
         if sim_fn is not None and item.get("ref_audio"):
             row["sim"] = round(sim_fn(str(path), item["ref_audio"]), 4)
             sims.append(row["sim"])
         rows.append(row)
     agg = {}
-    for lang, vals in sorted(by_lang.items()):
-        agg[f"wer_{lang}"] = round(float(np.mean(vals)), 4)
+    for lang, (edits, ref_len) in sorted(by_lang.items()):
+        agg[f"wer_{lang}"] = round(edits / max(ref_len, 1), 4)
     if sims:
         agg["sim_mean"] = round(float(np.mean(sims)), 4)
     return rows, agg
@@ -342,9 +352,11 @@ def _build_engine(checkpoint_path, tiny=False, int8=False, kv_quant=False,
         dac_params, dac_cfg = load_dac(checkpoint_path, dtype=dtype)
 
     if int8:
-        from fish_speech_tpu.ops.quant import quantize_dual_ar
+        # SAME path as the server (`server/main.py`): the harness must
+        # qualify exactly the weights serving runs with
+        from fish_speech_tpu.ops.quant import quantize_dual_ar_lowmem
 
-        params = jax.jit(quantize_dual_ar, donate_argnums=(0,))(params)
+        params = quantize_dual_ar_lowmem(params, mode="int8")
 
     session = GenerationSession(
         params, cfg, SamplingConfig(), dtype=dtype, kv_quant=kv_quant,

@@ -13,8 +13,13 @@ import pathlib
 
 try:
     import tomllib  # stdlib on >=3.11
-except ImportError:  # pragma: no cover - 3.10 fallback (requires-python >=3.10)
-    import tomli as tomllib  # type: ignore[no-redef]
+except ImportError:  # pragma: no cover - 3.10 (requires-python >=3.10):
+    # tomli is not a declared dependency; skip rather than fail collection
+    import pytest
+
+    tomllib = pytest.importorskip(
+        "tomli", reason="needs tomllib (py311+) or an installed tomli"
+    )
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 

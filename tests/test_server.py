@@ -772,9 +772,15 @@ def test_vqgan_batch_cache_and_equivalence(engine):
     m0 = engine.vq_cache_misses
     batch = engine.encode_references_batch(wavs)
     assert engine.vq_cache_misses == m0 + 3
+    # batch (rows padded to 4) == single (rows 1): clear the shared LRU so
+    # the single path genuinely recomputes instead of returning the cached
+    # batch result
     for w, c in zip(wavs, batch):
+        engine._vq_cache.clear()
         np.testing.assert_array_equal(c, engine.encode_reference(w))
 
+    engine._vq_cache.clear()
+    engine.encode_references_batch(wavs)  # re-prime
     h0 = engine.vq_cache_hits
     again = engine.encode_references_batch([wavs[1], wavs[0]])
     assert engine.vq_cache_hits == h0 + 2

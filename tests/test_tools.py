@@ -314,3 +314,26 @@ def test_eval_quality_error_rate_units():
     assert error_rate("hello big world", "hello world", "en") == 0.5
     assert error_rate("abc", "abd", "zh") == pytest.approx(1 / 3)
     assert error_rate("", "hello world", "en") == 1.0
+
+
+def test_eval_quality_corpus_level_wer():
+    """Per-language WER aggregates at corpus level (total edits / total
+    reference tokens), not the mean of per-utterance rates — a 1-edit
+    2-word clip beside a clean 100-word clip is ~1% corpus WER, not 25%
+    (review finding: short utterances must not dominate the flag gate)."""
+    from fish_speech_tpu.tools.eval_quality import score
+
+    class Item(dict):
+        pass
+
+    results = [
+        ({"id": "a", "lang": "en", "text": "hello world"},
+         "a.wav", 0.1),
+        ({"id": "b", "lang": "en", "text": " ".join(["word"] * 100)},
+         "b.wav", 0.1),
+    ]
+    hyps = {"a.wav": "hello big world",  # 1 insertion vs 2 ref words
+            "b.wav": " ".join(["word"] * 100)}
+    rows, agg = score(results, lambda p, lang: hyps[p], None)
+    assert rows[0]["wer"] == 0.5 and rows[1]["wer"] == 0.0
+    assert agg["wer_en"] == pytest.approx(1 / 102, abs=1e-4)
