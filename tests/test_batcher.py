@@ -756,3 +756,32 @@ def test_admit_front_loads_all_park_groups():
                 )
     finally:
         b.shutdown()
+
+
+def test_batcher_precompile_covers_admission_signatures():
+    """`precompile` AOT-builds the same (k, bucket) park/scatter and
+    (chunk, kv) decode signatures the pool dispatches, and a burst right
+    after it produces valid outputs (the programs land in the persistent
+    cache; the real calls then re-trace against it)."""
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3, max_seq_len=128
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    b = ContinuousBatcher(
+        params, cfg, SamplingConfig(), pool_size=4, dtype=jnp.float32,
+        decode_chunk_size=4,
+    )
+    try:
+        times = b.precompile()
+        names = set(times)
+        # default buckets = every PROMPT_BUCKET below max_seq_len (64);
+        # pool 4 -> group sizes {1, 4}
+        for k in (1, 4):
+            assert f"park_{k}@64" in names and f"scatter_{k}@64" in names
+        assert any(n.startswith("decode_4@") for n in names)
+        outs = [b.generate(random_prompt(cfg, 10), max_new_tokens=6, seed=i)
+                for i in range(2)]
+        for out in outs:
+            _check(cfg, out)
+    finally:
+        b.shutdown()
