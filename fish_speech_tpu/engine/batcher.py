@@ -631,20 +631,27 @@ class ContinuousBatcher:
             return None  # suffix pad tail would overrun the cache
         return m, rows, sbucket
 
-    def precompile(self, buckets=None) -> dict:
+    def precompile(self, buckets=None, execute: bool = True) -> dict:
         """AOT-compile every admission/decode jit signature the pool can
         dispatch, in PARALLEL threads (same mechanism as
         `GenerationSession.precompile`): the programs are independent, and
         compiling them serially inside the first burst was the bulk of a
         ~100 s cache-cold warmup. Operands are ShapeDtypeStructs for the
-        big buffers (no second cache allocation, no device work); the
-        later no-op warmup calls in `_ensure_bucket_compiled` then hit the
-        persistent compilation cache. Returns {signature: seconds}.
+        big buffers (no second cache allocation); the later no-op warmup
+        calls in `_ensure_bucket_compiled` then hit the persistent
+        compilation cache. Returns {signature: seconds}.
 
-        NOTE: only effective when the persistent compilation cache is
-        active (`utils.compile_cache.enable_compile_cache`; the server and
-        bench both call it) — AOT executables are discarded, the payoff is
-        the later dispatch's cache hit.
+        execute=True additionally runs each pool-decode program once with
+        an all-False `active` mask (value-preserving: inactive rows are
+        frozen) and runs `_ensure_bucket_compiled` for every bucket, then
+        waits via a HOST FETCH. Compiling alone is not enough on a remote
+        device: the server materializes a program at its first execution
+        (measured 35-370 s for a big prefill when that landed on the
+        first real request), and `block_until_ready` through the tunnel
+        was observed returning before that work finished — only a
+        device-to-host fetch reliably absorbs it here, at startup.
+        MUST run before serving traffic (donates the pool between
+        dispatches), which is when the server and bench call it.
 
         buckets: prompt buckets to cover; default = every PROMPT_BUCKET a
         request can legally produce (prompts are bounded by max_seq_len),
@@ -708,10 +715,11 @@ class ContinuousBatcher:
                 )
 
         times = {}
+        compiled = {}
 
         def run(name, fn):
             t0 = _time.perf_counter()
-            fn()
+            compiled[name] = fn()
             times[name] = round(_time.perf_counter() - t0, 1)
 
         with concurrent.futures.ThreadPoolExecutor(
@@ -720,6 +728,26 @@ class ContinuousBatcher:
             futs = [ex.submit(run, name, fn) for name, fn in jobs.items()]
             for f in futs:
                 f.result()
+
+        if execute:
+            # warm-execute (see docstring): pool-decode programs with the
+            # all-False active mask (frozen rows — value-preserving), pool
+            # donated through the chain; then the admission programs via
+            # their existing value-preserving no-op calls.
+            t0 = _time.perf_counter()
+            fresh = []
+            for n in sorted({self.first_chunk, self.chunk}):
+                for kv_len in self.kv_buckets:
+                    res = compiled[f"decode_{n}@{kv_len}"](
+                        self.params, token, self.pool, pos, window, keys,
+                        active, vec_f, vec_f, vec_i,
+                    )
+                    self.pool = res[2]
+                    fresh.append(res[0])
+            jax.device_get(fresh)
+            for bucket in buckets:
+                self._ensure_bucket_compiled(bucket)
+            times["execute"] = round(_time.perf_counter() - t0, 1)
         return times
 
     def _ensure_bucket_compiled(self, bucket: int):
@@ -752,7 +780,13 @@ class ContinuousBatcher:
                 self.pool, zcache, jnp.zeros((p,), jnp.int32),
                 jnp.arange(p, dtype=jnp.int32), jnp.zeros((p,), bool),
             )
-        jax.block_until_ready(self.pool)
+        # host FETCH, not block_until_ready: the scatter output aliases the
+        # donated pool, and through the remote tunnel block_until_ready on
+        # it was observed returning before the server finished the warmup
+        # chain (which would defer the program-materialization stall to
+        # the first real admission). A tiny D2H fetch cannot return early.
+        leaf = jax.tree_util.tree_leaves(self.pool)[0]
+        jax.device_get(leaf[(0,) * leaf.ndim])
         _dbg(f"bucket {bucket} admission signatures compiled")
 
     def _activate_parked(self, pk: _Parked, idxs, rows):

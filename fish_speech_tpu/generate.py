@@ -25,6 +25,7 @@ import dataclasses
 import functools
 import re
 import time
+import warnings
 from dataclasses import dataclass
 from typing import Generator, List, Optional, Union
 
@@ -628,6 +629,49 @@ class GenerationSession:
         # flagship (~150 MB at bucket 1024).
         self.prefix_cache_size = prefix_cache_size if max_batch == 1 else 0
         self.prefix = PrefixStore(self.prefix_cache_size)
+        # AOT executables from precompile(), keyed by exact dispatch
+        # signature. Dispatching THROUGH these (instead of the jit path)
+        # matters on a remote device: the jit dispatch deserializes the
+        # persistent-cache entry into a fresh loaded executable, and that
+        # load stalled 35-370 s server-side across a whole evening of
+        # measurements — while executing the precompiled AOT object, same
+        # program, same minute, took 0.0 s. Exact-signature hits use the
+        # AOT object; everything else falls back to the jit path.
+        self._aot = {}
+
+    def _prefill(self, inp, cache, offsets, t_end, key, temperature, top_p,
+                 top_k, feats=None, mask=None):
+        """Dispatch one prefill: AOT executable on exact signature match,
+        jit otherwise (see `_aot`)."""
+        b, _, bucket = inp.shape
+        fn = self._aot.get(("prefill", b, bucket)) if feats is None else None
+        if fn is not None:
+            try:
+                return fn(self.params, inp, cache, offsets, t_end, key,
+                          temperature, top_p, top_k, None, None)
+            except TypeError as e:  # operand aval drift: stay correct
+                warnings.warn(f"AOT prefill fell back to jit: {e}")
+        return prefill_step(self.params, self.cfg, self.scfg, inp, cache,
+                            offsets, t_end, key, temperature, top_p, top_k,
+                            feats, mask)
+
+    def _decode(self, n, token, cache, pos, window, key, temperature,
+                top_p, top_k, kv_offsets, kv_len):
+        """Dispatch one decode chunk: AOT on exact signature match, jit
+        otherwise (see `_aot`)."""
+        b = token.shape[0]
+        fn = self._aot.get(
+            ("decode", b, int(n), int(kv_len), kv_offsets is not None)
+        )
+        if fn is not None:
+            try:
+                return fn(self.params, token, cache, pos, window, key,
+                          temperature, top_p, top_k, kv_offsets)
+            except TypeError as e:
+                warnings.warn(f"AOT decode fell back to jit: {e}")
+        return decode_chunk(self.params, self.cfg, self.scfg, int(n), token,
+                            cache, pos, window, key, temperature, top_p,
+                            top_k, kv_offsets, int(kv_len))
 
     def _kv_bucket(self, pos_end: int) -> int:
         for b in self.kv_buckets:
@@ -654,9 +698,10 @@ class GenerationSession:
 
     def precompile(self, prompt_len: int, max_new_tokens: int = 0,
                    batch: Optional[int] = None,
-                   first_chunk: Optional[int] = None) -> dict:
+                   first_chunk: Optional[int] = None,
+                   execute: bool = True) -> dict:
         """AOT-compile every jit program a generate/generate_batch run will
-        dispatch, in PARALLEL threads, without touching the live cache.
+        dispatch, in PARALLEL threads, then execute each once.
 
         Cold compile of the serving programs is the dominant startup cost
         (prefill + the 64-step decode scan compile SERIALLY inside the
@@ -666,7 +711,20 @@ class GenerationSession:
         real call's compile step becomes a cache hit — and independent
         programs compile concurrently here instead of back-to-back. The
         big operands (cache) are passed as ShapeDtypeStructs: no second
-        KV allocation, no device work. Returns {name: seconds}.
+        KV allocation. Returns {name: seconds}.
+
+        execute=True additionally runs each compiled program ONCE on
+        value-irrelevant operands ("execute" entry in the returned times).
+        Compiling is not enough on a remote device: the server
+        materializes/loads a program at its FIRST execution, and that load
+        measured 35-240 s for the serving prefill when it landed inside
+        the first real generate (the stall reproduced with every compile
+        cache hitting — it is a program-load cost, not a compile cost).
+        Executing here absorbs the load inside precompile, so the first
+        real request pays dispatch + compute only. The session cache is
+        donated through the warm-up chain exactly as real calls donate it;
+        its contents become garbage, which is safe — every generate
+        prefills the rows it reads from scratch.
         """
         cfg, scfg = self.cfg, self.scfg
         b = int(batch or self.cache["k"].shape[1])
@@ -701,8 +759,8 @@ class GenerationSession:
         # the session's first_chunk_size
         if first_chunk is None and b > 1:
             first_chunk = self.decode_chunk_size
-        for n, kv_len in self.decode_signatures(prompt_len, budget,
-                                                first_chunk):
+        sigs = self.decode_signatures(prompt_len, budget, first_chunk)
+        for n, kv_len in sigs:
             jobs[f"decode_{n}@{kv_len}"] = (
                 lambda n=n, kv_len=kv_len: decode_chunk.lower(
                     self.params, cfg, scfg, n, token, cache_abs, pos,
@@ -714,16 +772,59 @@ class GenerationSession:
         import concurrent.futures
 
         times = {}
+        compiled = {}
 
         def run(name, fn):
             t0 = time.perf_counter()
-            fn()
+            compiled[name] = fn()
             times[name] = round(time.perf_counter() - t0, 1)
 
         with concurrent.futures.ThreadPoolExecutor(len(jobs)) as ex:
             futs = [ex.submit(run, name, fn) for name, fn in jobs.items()]
             for f in futs:
                 f.result()
+
+        # register for AOT dispatch (see __init__._aot)
+        self._aot[("prefill", b, bucket)] = compiled[f"prefill_{bucket}"]
+        for n, kv_len in sigs:
+            self._aot[("decode", b, n, kv_len, kv_offsets is not None)] = (
+                compiled[f"decode_{n}@{kv_len}"]
+            )
+
+        if execute:
+            # One warm-up execution per program (see docstring). Serial:
+            # every program donates the SAME session cache, threaded
+            # through the chain like a real run.
+            t0 = time.perf_counter()
+            if self.cache["k"].shape[1] != b:
+                self.cache = dual_ar.init_kv_cache(
+                    cfg, b, self.cache_len, self.dtype, quant=self.kv_quant
+                )
+            out = compiled[f"prefill_{bucket}"](
+                self.params, inp, self.cache, offsets,
+                jnp.int32(prompt_len), key, temperature, top_p, top_k,
+                None, None,
+            )
+            self.cache = out[1]
+            # Wait via a HOST FETCH of fresh outputs (column / cols), not
+            # block_until_ready: through the remote-device tunnel
+            # block_until_ready was observed returning immediately
+            # ('execute': 0.0 while the chain demonstrably costs ~3 s),
+            # which defers the server's program-materialization stall to
+            # the first real request — the exact thing this warm-up
+            # exists to absorb. A device-to-host fetch cannot complete
+            # without the server having finished the chain; the arrays
+            # are tiny (one (B, C+1) column per program).
+            fresh = [out[0]]
+            for n, kv_len in sigs:
+                res = compiled[f"decode_{n}@{kv_len}"](
+                    self.params, token, self.cache, pos, window, key,
+                    temperature, top_p, top_k, kv_offsets,
+                )
+                self.cache = res[2]
+                fresh.append(res[0])
+            jax.device_get(fresh)
+            times["execute"] = round(time.perf_counter() - t0, 1)
         return times
 
     # -- voice-clone prefix cache (see __init__ and PrefixStore) --------
@@ -846,8 +947,8 @@ class GenerationSession:
             )
         else:
             self.prefix.misses += 1
-            column, self.cache = prefill_step(
-                self.params, cfg, scfg, jnp.asarray(inp), self.cache, offsets,
+            column, self.cache = self._prefill(
+                jnp.asarray(inp), self.cache, offsets,
                 jnp.int32(t), pk, temperature, top_p, top_k, feats, mask,
             )
             if (self.prefix_cache_size and feats is None
@@ -882,8 +983,8 @@ class GenerationSession:
                 n = self.first_chunk_size if first else self.decode_chunk_size
                 first = False
                 kv_len = self._kv_bucket(pos_host + n + 1)
-                cols, token, self.cache, pos, window, key, _ = decode_chunk(
-                    self.params, cfg, scfg, int(n), token, self.cache, pos,
+                cols, token, self.cache, pos, window, key, _ = self._decode(
+                    int(n), token, self.cache, pos,
                     window, key, temperature, top_p, top_k, None, kv_len,
                 )
                 inflight.append((cols, n))
@@ -927,8 +1028,8 @@ class GenerationSession:
             n = self.first_chunk_size if first else self.decode_chunk_size
             first = False
             kv_len = self._kv_bucket(pos_host + n + 1)
-            cols, token, self.cache, pos, window, key, _ = decode_chunk(
-                self.params, cfg, scfg, int(n), token, self.cache, pos,
+            cols, token, self.cache, pos, window, key, _ = self._decode(
+                int(n), token, self.cache, pos,
                 window, key, temperature, top_p, top_k, None, kv_len,
             )
             cum = jnp.concatenate([cum, cols[:, 0, :].T], axis=1)
@@ -991,8 +1092,8 @@ class GenerationSession:
         top_k = jnp.int32(top_k)
 
         key, pk = jax.random.split(key)
-        column, self.cache = prefill_step(
-            self.params, cfg, scfg, jnp.asarray(inp), self.cache, offsets,
+        column, self.cache = self._prefill(
+            jnp.asarray(inp), self.cache, offsets,
             jnp.int32(t_max), pk, temperature, top_p, top_k,
         )
         # Lockstep batch: prompts are LEFT-aligned to a common end (t_max),
@@ -1008,8 +1109,8 @@ class GenerationSession:
         chunk = int(first_chunk_size or self.decode_chunk_size)
         while steps_left > 0 and not done.all():
             kv_len = self._kv_bucket(int(pos) + chunk + 1)
-            cols, token, self.cache, pos, window, key, _ = decode_chunk(
-                self.params, cfg, scfg, chunk, token,
+            cols, token, self.cache, pos, window, key, _ = self._decode(
+                chunk, token,
                 self.cache, pos, window, key, temperature, top_p, top_k,
                 offsets, kv_len,
             )

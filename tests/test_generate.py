@@ -103,6 +103,51 @@ def test_precompile_matches_dispatch_signatures(session, tokenizer):
     np.testing.assert_array_equal(s1, s2)
 
 
+def test_aot_dispatch_matches_jit(tokenizer):
+    """Generation through the precompiled AOT executables must be
+    token-identical to jit-path generation from an identical session that
+    never ran precompile — for both the batch-1 and the batched lockstep
+    paths (covers donation + operand aval agreement of the AOT route)."""
+    cfg = dual_ar_tiny(
+        vocab_size=tokenizer.vocab_size,
+        semantic_begin_id=tokenizer.semantic_begin_id,
+        semantic_end_id=tokenizer.semantic_end_id,
+        im_end_id=tokenizer.im_end_id,
+        codebook_size=4096,
+        num_codebooks=3,
+        max_seq_len=256,
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.float32)
+    prompt = np.zeros((cfg.num_codebooks + 1, 8), dtype=np.int32)
+    prompt[0] = tokenizer.encode("abcdefgh")
+
+    for batch in (1, 3):
+        mk = lambda: GenerationSession(
+            params, cfg, SamplingConfig(), max_batch=batch,
+            dtype=jnp.float32, decode_chunk_size=8,
+        )
+        aot, jit_only = mk(), mk()
+        times = aot.precompile(8, max_new_tokens=10, batch=batch)
+        assert "execute" in times
+        assert aot._aot and not jit_only._aot
+        if batch == 1:
+            out_a = aot.generate(prompt, jax.random.PRNGKey(7),
+                                 max_new_tokens=10)
+            out_j = jit_only.generate(prompt, jax.random.PRNGKey(7),
+                                      max_new_tokens=10)
+            np.testing.assert_array_equal(out_a, out_j)
+        else:
+            outs_a = aot.generate_batch([prompt] * batch,
+                                        jax.random.PRNGKey(7),
+                                        max_new_tokens=10)
+            outs_j = jit_only.generate_batch([prompt] * batch,
+                                             jax.random.PRNGKey(7),
+                                             max_new_tokens=10)
+            for a, j in zip(outs_a, outs_j):
+                np.testing.assert_array_equal(a, j)
+
+
 def test_generate_deterministic_given_key(session, tokenizer):
     prompt = np.zeros((session.cfg.num_codebooks + 1, 8), dtype=np.int32)
     prompt[0] = tokenizer.encode("abcdefgh")
