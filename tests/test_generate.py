@@ -148,6 +148,44 @@ def test_aot_dispatch_matches_jit(tokenizer):
                 np.testing.assert_array_equal(a, j)
 
 
+def test_aot_dispatch_matches_jit_streaming(tokenizer):
+    """The streaming paths (host partials and device partials) through the
+    precompiled AOT executables yield the same cumulative columns as an
+    identical jit-only session."""
+    cfg = dual_ar_tiny(
+        vocab_size=tokenizer.vocab_size,
+        semantic_begin_id=tokenizer.semantic_begin_id,
+        semantic_end_id=tokenizer.semantic_end_id,
+        im_end_id=tokenizer.im_end_id,
+        codebook_size=4096,
+        num_codebooks=3,
+        max_seq_len=256,
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(5), cfg,
+                                  dtype=jnp.float32)
+    prompt = np.zeros((cfg.num_codebooks + 1, 8), dtype=np.int32)
+    prompt[0] = tokenizer.encode("abcdefgh")
+    mk = lambda: GenerationSession(
+        params, cfg, SamplingConfig(), max_batch=1,
+        dtype=jnp.float32, decode_chunk_size=8,
+    )
+    aot, jit_only = mk(), mk()
+    aot.precompile(8, max_new_tokens=16)
+    for device_partials in (False, True):
+        outs_a = list(aot.generate_stream(
+            prompt, jax.random.PRNGKey(9), max_new_tokens=16,
+            device_partials=device_partials))
+        outs_j = list(jit_only.generate_stream(
+            prompt, jax.random.PRNGKey(9), max_new_tokens=16,
+            device_partials=device_partials))
+        assert len(outs_a) == len(outs_j)
+        last_a = (np.asarray(outs_a[-1].host())
+                  if device_partials else outs_a[-1])
+        last_j = (np.asarray(outs_j[-1].host())
+                  if device_partials else outs_j[-1])
+        np.testing.assert_array_equal(last_a, last_j)
+
+
 def test_generate_deterministic_given_key(session, tokenizer):
     prompt = np.zeros((session.cfg.num_codebooks + 1, 8), dtype=np.int32)
     prompt[0] = tokenizer.encode("abcdefgh")
