@@ -37,6 +37,7 @@ import queue
 import sys
 import threading
 import time as _time
+import warnings
 
 _DEBUG = bool(os.environ.get("FS_BATCHER_DEBUG"))
 _T0 = _time.perf_counter()
@@ -266,6 +267,15 @@ class ContinuousBatcher:
         self.park_max_rows = 2 * pool_size
         self._overflow: List[BatchRequest] = []  # FIFO, drained from pending
         self._compiled_buckets = set()
+        # AOT executables from precompile(), keyed by exact dispatch
+        # signature — same mechanism as GenerationSession._aot. Dispatching
+        # the worker loop THROUGH these matters on a remote device: the jit
+        # dispatch loads a fresh server-side executable even for an
+        # already-compiled program (measured 10.3 s first jit execution vs
+        # 0.34 s through the AOT object for the same program), so a
+        # jit-dispatched first pool decode could re-pay the very
+        # materialization stall precompile(execute=True) absorbed.
+        self._aot = {}
         self.pending: "queue.Queue[BatchRequest]" = queue.Queue()
         self._stop = threading.Event()
         self._wake = threading.Event()
@@ -576,9 +586,9 @@ class ContinuousBatcher:
             inp = np.zeros((ksig, cfg.num_codebooks + 1, bucket), np.int32)
             for j, req in enumerate(reqs):
                 inp[j, :, : t_ends[j]] = req.prompt
-            column, next_keys, cache = prefill_group_parked(
-                self.params, cfg, scfg, jnp.asarray(inp), cache,
-                jnp.asarray(t_sig), pks, temps, top_ps, top_ks,
+            column, next_keys, cache = self._dispatch_park(
+                jnp.asarray(inp), cache, jnp.asarray(t_sig), pks, temps,
+                top_ps, top_ks,
             )
             if self.prefix.size and self.prefix.accepts(reqs[0].prompt):
                 self.prefix.store(
@@ -631,6 +641,57 @@ class ContinuousBatcher:
             return None  # suffix pad tail would overrun the cache
         return m, rows, sbucket
 
+    # -- AOT dispatch (see __init__._aot) --------------------------------
+
+    def _dispatch_decode(self, n, kv_len, token, pool, pos, window, keys,
+                         active, temperature, top_p, top_k):
+        """One pool decode chunk: AOT executable on exact signature match,
+        jit otherwise. A stale AOT entry (operand aval/pytree drift) warns
+        once, is evicted, and the chunk completes via jit."""
+        sig = ("decode", int(n), int(kv_len))
+        fn = self._aot.get(sig)
+        if fn is not None:
+            try:
+                return fn(self.params, token, pool, pos, window, keys,
+                          active, temperature, top_p, top_k)
+            except (TypeError, ValueError) as e:
+                del self._aot[sig]
+                warnings.warn(f"AOT pool decode evicted, fell back to jit: {e}")
+        return decode_chunk_multi(
+            self.params, self.cfg, self.scfg, n, token, pool, pos, window,
+            keys, active, temperature, top_p, top_k, kv_len,
+        )
+
+    def _dispatch_park(self, inp, cache, t_sig, pks, temps, top_ps, top_ks):
+        """One group prefill (miss path): AOT on exact (k, bucket) match,
+        jit otherwise."""
+        k, _, bucket = inp.shape
+        sig = ("park", int(k), int(bucket))
+        fn = self._aot.get(sig)
+        if fn is not None:
+            try:
+                return fn(self.params, inp, cache, t_sig, pks, temps,
+                          top_ps, top_ks)
+            except (TypeError, ValueError) as e:
+                del self._aot[sig]
+                warnings.warn(f"AOT park prefill evicted, fell back to jit: {e}")
+        return prefill_group_parked(self.params, self.cfg, self.scfg, inp,
+                                    cache, t_sig, pks, temps, top_ps, top_ks)
+
+    def _dispatch_scatter(self, pool, parked_cache, src_idx, rows, take):
+        """One parked-rows scatter: AOT on exact (k, bucket) match (keyed
+        by the parked cache's row count and bucket), jit otherwise."""
+        kshape = parked_cache["k"].shape
+        sig = ("scatter", int(kshape[1]), int(kshape[2]))
+        fn = self._aot.get(sig)
+        if fn is not None:
+            try:
+                return fn(pool, parked_cache, src_idx, rows, take)
+            except (TypeError, ValueError) as e:
+                del self._aot[sig]
+                warnings.warn(f"AOT scatter evicted, fell back to jit: {e}")
+        return scatter_parked_rows(pool, parked_cache, src_idx, rows, take)
+
     def precompile(self, buckets=None, execute: bool = True) -> dict:
         """AOT-compile every admission/decode jit signature the pool can
         dispatch, in PARALLEL threads (same mechanism as
@@ -659,6 +720,16 @@ class ContinuousBatcher:
         compile for an unusual prompt length. Callers with a known prompt
         set (the bench) pass exactly theirs."""
         import concurrent.futures
+
+        if execute and (any(s.active for s in self.slots) or self.parked
+                        or self._overflow or not self.pending.empty()):
+            # execute=True donates (garbage-fills) the live pool between
+            # dispatches — running it while the worker is serving would
+            # corrupt every in-flight request's KV rows. Fail loudly.
+            raise RuntimeError(
+                "ContinuousBatcher.precompile(execute=True) must run before "
+                "serving traffic: the warm-up chain donates the live pool"
+            )
 
         cfg, scfg = self.cfg, self.scfg
         if buckets is None:
@@ -729,6 +800,23 @@ class ContinuousBatcher:
             for f in futs:
                 f.result()
 
+        # register for AOT dispatch (see __init__._aot): the worker loop
+        # dispatches through these same executables, so the programs warmed
+        # below are the programs serving actually runs
+        for n in sorted({self.first_chunk, self.chunk}):
+            for kv_len in self.kv_buckets:
+                self._aot[("decode", n, kv_len)] = (
+                    compiled[f"decode_{n}@{kv_len}"]
+                )
+        for bucket in buckets:
+            for k in ks:
+                self._aot[("park", _alloc_rows(k), bucket)] = (
+                    compiled[f"park_{k}@{bucket}"]
+                )
+                self._aot[("scatter", _alloc_rows(k), bucket)] = (
+                    compiled[f"scatter_{k}@{bucket}"]
+                )
+
         if execute:
             # warm-execute (see docstring): pool-decode programs with the
             # all-False active mask (frozen rows — value-preserving), pool
@@ -772,11 +860,13 @@ class ContinuousBatcher:
             ends = jnp.ones((k,), jnp.int32)
             pks = _seed_keys(jnp.zeros((k,), jnp.uint32))
             ones = jnp.ones((k,), jnp.float32)
-            _, _, zcache = prefill_group_parked(
-                self.params, cfg, scfg, zi, zcache, ends, pks, ones, ones,
-                jnp.ones((k,), jnp.int32),
+            # dispatched through the SAME path serving uses (AOT when
+            # registered, jit otherwise), so the executable warmed here is
+            # the one the first real admission runs
+            _, _, zcache = self._dispatch_park(
+                zi, zcache, ends, pks, ones, ones, jnp.ones((k,), jnp.int32),
             )
-            self.pool = scatter_parked_rows(
+            self.pool = self._dispatch_scatter(
                 self.pool, zcache, jnp.zeros((p,), jnp.int32),
                 jnp.arange(p, dtype=jnp.int32), jnp.zeros((p,), bool),
             )
@@ -803,7 +893,7 @@ class ContinuousBatcher:
             pos_in_perm = row_perm.index(r)
             src_idx[pos_in_perm] = j
             take[pos_in_perm] = True
-        self.pool = scatter_parked_rows(
+        self.pool = self._dispatch_scatter(
             self.pool, pk.cache, jnp.asarray(src_idx),
             jnp.asarray(row_perm, jnp.int32), jnp.asarray(take),
         )
@@ -895,10 +985,10 @@ class ContinuousBatcher:
                 self.cache_len,
             )
             (cols, self.token, self.pool, self.pos, self.window, self.keys,
-             self.active) = decode_chunk_multi(
-                self.params, cfg, self.scfg, n, self.token,
-                self.pool, self.pos, self.window, self.keys, self.active,
-                self.temperature, self.top_p, self.top_k, kv_len,
+             self.active) = self._dispatch_decode(
+                n, kv_len, self.token, self.pool, self.pos, self.window,
+                self.keys, self.active, self.temperature, self.top_p,
+                self.top_k,
             )
             cols_np = np.asarray(cols)  # (n, B, C+1)
             _dbg(f"chunk n={n} kv={kv_len} active={int(np.asarray(self.active).sum())}")

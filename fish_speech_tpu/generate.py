@@ -644,13 +644,19 @@ class GenerationSession:
         """Dispatch one prefill: AOT executable on exact signature match,
         jit otherwise (see `_aot`)."""
         b, _, bucket = inp.shape
-        fn = self._aot.get(("prefill", b, bucket)) if feats is None else None
+        sig = ("prefill", b, bucket)
+        fn = self._aot.get(sig) if feats is None else None
         if fn is not None:
             try:
                 return fn(self.params, inp, cache, offsets, t_end, key,
                           temperature, top_p, top_k, None, None)
-            except TypeError as e:  # operand aval drift: stay correct
-                warnings.warn(f"AOT prefill fell back to jit: {e}")
+            except (TypeError, ValueError) as e:
+                # operand aval/pytree drift (cache-layout or quant change
+                # since precompile): stay correct via jit, and EVICT the
+                # stale entry so later chunks skip the failing AOT retry
+                # (and its per-chunk warning) entirely
+                del self._aot[sig]
+                warnings.warn(f"AOT prefill evicted, fell back to jit: {e}")
         return prefill_step(self.params, self.cfg, self.scfg, inp, cache,
                             offsets, t_end, key, temperature, top_p, top_k,
                             feats, mask)
@@ -660,15 +666,15 @@ class GenerationSession:
         """Dispatch one decode chunk: AOT on exact signature match, jit
         otherwise (see `_aot`)."""
         b = token.shape[0]
-        fn = self._aot.get(
-            ("decode", b, int(n), int(kv_len), kv_offsets is not None)
-        )
+        sig = ("decode", b, int(n), int(kv_len), kv_offsets is not None)
+        fn = self._aot.get(sig)
         if fn is not None:
             try:
                 return fn(self.params, token, cache, pos, window, key,
                           temperature, top_p, top_k, kv_offsets)
-            except TypeError as e:
-                warnings.warn(f"AOT decode fell back to jit: {e}")
+            except (TypeError, ValueError) as e:
+                del self._aot[sig]  # stale entry: one warning, then jit
+                warnings.warn(f"AOT decode evicted, fell back to jit: {e}")
         return decode_chunk(self.params, self.cfg, self.scfg, int(n), token,
                             cache, pos, window, key, temperature, top_p,
                             top_k, kv_offsets, int(kv_len))
@@ -725,6 +731,16 @@ class GenerationSession:
         donated through the warm-up chain exactly as real calls donate it;
         its contents become garbage, which is safe — every generate
         prefills the rows it reads from scratch.
+
+        CONTRACT: execute=True must run BEFORE or BETWEEN generations —
+        never while a generate/generate_batch is mid-stream or while
+        prefix caching holds live KV rows you intend to reuse. The warm-up
+        chain donates (garbage-fills) the live session cache and
+        reallocates it when `batch` differs from the current cache, so a
+        mid-session call silently destroys device state a concurrent
+        consumer depends on. All current callers (server startup, bench)
+        satisfy this; a second batch signature should be precompiled with
+        execute=False or between requests.
         """
         cfg, scfg = self.cfg, self.scfg
         b = int(batch or self.cache["k"].shape[1])
