@@ -299,8 +299,17 @@ def test_eval_quality_harness(tmp_path, monkeypatch):
     assert -1.0 <= base["sim_mean"] <= 1.0
     ab = report["configs"]["kv-int8"]
     assert "delta_vs_baseline" in ab and "wer_en" in ab["delta_vs_baseline"]
+    # timing keys are excluded from the A/B deltas (not quality numbers)
+    assert "synthesis_wall_s" not in ab["delta_vs_baseline"]
     # every item synthesized under both configs
     assert len(ab["items"]) == 2
+    # pooled synthesis (default --pool-size 8 -> BatcherSession): per-item
+    # RTF/TTFA columns + manifest-level throughput aggregates (VERDICT r4
+    # item 3 — the gate must run at serving speed, and report it)
+    assert base["synthesis_wall_s"] > 0
+    assert base["synthesis_x_realtime"] > 0
+    for row in report["configs"]["baseline"]["items"]:
+        assert row["ttfa_s"] > 0 and row["rtf"] > 0 and row["audio_s"] > 0
     assert (out / "report.md").read_text().startswith("| Benchmark |")
     assert "Seed-TTS Eval — WER (Chinese)" in (out / "report.md").read_text()
 
@@ -326,11 +335,12 @@ def test_eval_quality_corpus_level_wer():
     class Item(dict):
         pass
 
+    timing = {"seconds": 0.1, "ttfa_s": 0.05, "audio_s": 0.5, "rtf": 0.2}
     results = [
         ({"id": "a", "lang": "en", "text": "hello world"},
-         "a.wav", 0.1),
+         "a.wav", timing),
         ({"id": "b", "lang": "en", "text": " ".join(["word"] * 100)},
-         "b.wav", 0.1),
+         "b.wav", timing),
     ]
     hyps = {"a.wav": "hello big world",  # 1 insertion vs 2 ref words
             "b.wav": " ".join(["word"] * 100)}
