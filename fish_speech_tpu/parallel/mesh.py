@@ -224,6 +224,81 @@ def zero1_shard_opt_state(optimizer, opt_state, param_specs, mesh: Mesh):
     return jax.tree_util.tree_map(replicate_rest, state)
 
 
+def train_state_memory_plan(cfg: DualARConfig, dp: int = 1, tp: int = 1,
+                            zero1: bool = False, param_dtype=None) -> dict:
+    """Pure-arithmetic per-chip HBM plan for full fine-tuning on a
+    (dp, tp) mesh — no allocation, shapes from `jax.eval_shape`.
+
+    Accounts the persistent training state exactly as this repo builds it:
+    params in `param_dtype` (bf16 default) sharded per
+    `dual_ar_param_specs`; grads with the params' sharding (GSPMD gives
+    gradients the parameter sharding) and dtype; AdamW m/v in the params'
+    dtype (optax's default `mu_dtype=None`), sharded like params plus —
+    under ZeRO-1 — the extra `dp` axis `zero1_shard_opt_state` inserts on
+    the first unsharded divisible dimension. Activations/temporaries are
+    NOT included (they scale with batch x seq and remat policy; XLA's
+    `memory_analysis()` on the compiled step reports them — see
+    `bench.py --train`).
+
+    This is the feasibility arithmetic behind docs/en/finetune.md's
+    chip-count table (e.g.: the 4.97B flagship needs ~8 bytes/param of
+    train state = ~40 GB, so full FT cannot fit any dp-only layout on
+    16 GB v5e chips — params+grads alone replicate to 20 GB — while a
+    (dp=2, tp=4) mesh plans ~1.5 bytes/param/chip).
+    """
+    import jax.numpy as jnp
+
+    from fish_speech_tpu.models.dual_ar import init_dual_ar
+
+    cfg = cfg.resolve()
+    param_dtype = param_dtype or jnp.bfloat16
+    shapes = jax.eval_shape(
+        lambda: init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=param_dtype)
+    )
+    specs = dual_ar_param_specs(cfg)
+    s_leaves, s_def = jax.tree_util.tree_flatten(
+        specs, is_leaf=lambda x: isinstance(x, P)
+    )
+    p_leaves, p_def = jax.tree_util.tree_flatten(shapes)
+    assert len(s_leaves) == len(p_leaves), (
+        f"spec/param structure mismatch: {s_def} vs {p_def}"
+    )
+    mesh_size = {"dp": dp, "tp": tp}
+
+    def per_chip(leaf, spec, extra_dp=False):
+        axes = list(spec) if spec is not None else []
+        axes += [None] * (leaf.ndim - len(axes))
+        denom = 1
+        for ax in axes:
+            for nm in (ax if isinstance(ax, tuple) else (ax,) if ax else ()):
+                denom *= mesh_size[nm]
+        if extra_dp and dp > 1:
+            # mirror zero1_shard_opt_state: first unsharded divisible axis
+            for i, ax in enumerate(axes):
+                if ax is None and leaf.shape[i] % dp == 0 \
+                        and leaf.shape[i] >= dp:
+                    denom *= dp
+                    break
+        return leaf.size * leaf.dtype.itemsize / denom
+
+    params_b = sum(per_chip(l, s) for l, s in zip(p_leaves, s_leaves))
+    grads_b = params_b
+    opt_b = 2 * sum(per_chip(l, s, extra_dp=zero1)
+                    for l, s in zip(p_leaves, s_leaves))
+    total_params = sum(l.size for l in p_leaves)
+    gib = float(2**30)
+    return {
+        "params_gib": round(params_b / gib, 2),
+        "grads_gib": round(grads_b / gib, 2),
+        "opt_gib": round(opt_b / gib, 2),
+        "total_gib": round((params_b + grads_b + opt_b) / gib, 2),
+        "bytes_per_param_per_chip": round(
+            (params_b + grads_b + opt_b) / total_params, 2),
+        "n_params": int(total_params),
+        "mesh": {"dp": dp, "tp": tp, "zero1": zero1},
+    }
+
+
 def shard_params(params, cfg: DualARConfig, mesh: Mesh):
     """Place a param pytree onto the mesh per `dual_ar_param_specs`."""
     specs = dual_ar_param_specs(cfg)
