@@ -122,6 +122,33 @@ def _require_device(timeout_s: float = None):
 
 REFERENCE_X_REALTIME = 1.0 / 0.195  # H200 + SGLang headline
 FRAMES_PER_SECOND = 44100.0 / 2048.0  # 21.53 tokens/s
+# peak dense bf16 matmul throughput of one TPU v5e chip (public spec:
+# 394 TOPS int8 / 197 TFLOPs bf16) — the denominator for every MFU number
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _compiled_hbm(compiled):
+    """Static peak HBM bytes XLA plans for a compiled executable:
+    arguments + temporaries + outputs − donated aliases. The axon remote
+    backend exposes no live memory_stats(), so the static plan is the
+    peak-memory number we can report. (The executable's cost_analysis()
+    is NOT used for FLOPs: every stack here rolls its layers into
+    `lax.scan` and HLO cost analysis counts a loop body once — measured
+    9.12 TF reported where a forward alone is ~44 TF. MFU numerators
+    come from `utils/flops.py`, validated in tests/test_flops.py.)"""
+    try:
+        ma = compiled.memory_analysis()
+        return (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                + ma.output_size_in_bytes - ma.alias_size_in_bytes)
+    except Exception:  # noqa: BLE001 — optional diagnostics only
+        return None
+
+
+def _mfu(flops, wall_s, platform: str):
+    """Fraction of the v5e's 197 bf16 TFLOPs this wall time achieved."""
+    if flops is None or platform != "tpu" or wall_s <= 0:
+        return None
+    return round(flops / wall_s / V5E_BF16_PEAK_FLOPS, 4)
 
 
 def _parse():
@@ -200,6 +227,34 @@ def _parse():
     parser.add_argument("--train-batch", type=int, default=2)
     parser.add_argument("--train-steps", type=int, default=4)
     parser.add_argument("--lora-r", type=int, default=16)
+    parser.add_argument("--arrivals", choices=["poisson"], default=None,
+                        help="OPEN-LOOP serving latency benchmark: requests "
+                             "arrive by a Poisson process at --rate req/s "
+                             "against the running continuous batcher "
+                             "(closed-loop --burst submits everything at "
+                             "once). Reports TTFA p50/p90/p99 vs offered "
+                             "load and the max load with p50 < 200 ms")
+    parser.add_argument("--rate", type=str, default=None,
+                        help="arrivals mode: offered load in req/s; comma "
+                             "list sweeps (default '2,4,6,8,10' — chip "
+                             "saturates near 1450 f/s / 128 f/req "
+                             "= ~11 req/s)")
+    parser.add_argument("--duration", type=float, default=20.0,
+                        help="arrivals mode: seconds of arrivals per rate")
+    parser.add_argument("--mfu", action="store_true",
+                        help="roofline probe for the COMPUTE-bound paths: "
+                             "time group prefill per prompt bucket and "
+                             "codec encode/decode, report each as %% of "
+                             "the chip's 197 bf16 TFLOPs (analytic FLOPs, "
+                             "utils/flops.py). Decode stays "
+                             "bandwidth-bound; its binding metric is GB/s "
+                             "(bench.py --profile roofline)")
+    parser.add_argument("--train-full", action="store_true",
+                        help="train mode: FULL fine-tune (all params, no "
+                             "LoRA) at the largest dual-AR config that fits "
+                             "one 16 GB v5e with AdamW state (~1.3B params; "
+                             "the 4.97B flagship needs a (dp,tp) mesh — see "
+                             "docs/en/training.md feasibility table)")
     parser.add_argument("--fuse-ffn", action="store_true",
                         help="force w13 FFN fusion at serving batch too "
                              "(default: batch 1 only; the concat's "
@@ -225,6 +280,8 @@ def _parse():
     args = parser.parse_args()
     if args.batch is None:
         args.batch = 16 if args.burst else 32
+        if args.small and args.arrivals:
+            args.batch = 4  # tiny-model smoke: a 32-slot pool is all compile
     # retry-ladder overrides (set by the re-exec fallback in main(): a hard
     # device OOM poisons the in-process client — RESOURCE_EXHAUSTED then
     # persists down to batch 1 even though the shapes fit, measured on the
@@ -248,10 +305,14 @@ def main():
         try:
             if args.ttfa:
                 run_ttfa(args)
+            elif args.arrivals:
+                run_arrivals(args)
             elif args.burst:
                 run_burst(args)
             elif args.train:
                 run_train(args)
+            elif args.mfu:
+                run_mfu(args)
             else:
                 run_bench(args)
             return
@@ -558,13 +619,41 @@ def run_bench(args):
     _emit(result, args)
 
 
+def _dual_ar_mid(**sem):
+    """The largest dual-AR config a FULL fine-tune (params + bf16 AdamW
+    m/v + grads ≈ 8 bytes/param with the repo's optimizer dtypes) fits on
+    one 16 GB v5e: ~1.37B params ≈ 11 GB of train state + activations
+    under remat. The 4.97B flagship needs ≈ 40 GB and therefore a
+    (dp, tp) mesh — the arithmetic the multichip dryrun asserts and
+    docs/en/training.md tabulates."""
+    import dataclasses
+
+    from fish_speech_tpu.config import dual_ar_s2_pro
+
+    return dataclasses.replace(
+        dual_ar_s2_pro(**sem),
+        n_layer=16, dim=2048, n_head=16, n_local_heads=4, head_dim=128,
+        intermediate_size=7168, tie_word_embeddings=True,
+        n_fast_layer=6, fast_dim=1024, fast_n_head=8, fast_n_local_heads=4,
+        fast_head_dim=128, fast_intermediate_size=4096,
+    ).resolve()
+
+
 def run_train(args):
-    """Single-chip LoRA finetune throughput through the REAL train step
-    (dual CE loss + top-5 acc + grads + AdamW on the LoRA leaves, remat
-    on, `train/step.make_train_step` — the same program `train.cli`
-    jits). Full-model AdamW would need ~60 GB of optimizer+grad state,
-    so LoRA is the honest single-chip training config; the reference's
-    finetuning story is LoRA-first too (`text2semantic_finetune.yaml`).
+    """Single-chip finetune throughput through the REAL train step
+    (dual CE loss + top-5 acc + grads + AdamW, remat on,
+    `train/step.make_train_step` — the same program `train.cli` jits).
+
+    Default = flagship-scale LoRA (frozen 4.97B base + r LoRA leaves,
+    masked AdamW) — the reference's own finetuning story
+    (`text2semantic_finetune.yaml`, `configs/lora/r_8_alpha_16.yaml`);
+    full-model AdamW on the flagship would need ~40 GB of train state.
+    `--train-full` = full fine-tune (all params trainable) at the largest
+    config that fits one chip (`_dual_ar_mid`, ~1.37B).
+
+    Reports tokens/s, step time, MFU vs the chip's 197 bf16 TFLOPs (flops
+    from XLA's own cost analysis, remat recompute included) and XLA's
+    static peak-HBM plan for the step.
     """
     import dataclasses
 
@@ -578,29 +667,36 @@ def run_train(args):
                                              apply_lora_config, lora_filter)
     from fish_speech_tpu.train.step import make_optimizer, make_train_step
 
+    sem = dict(semantic_begin_id=151000, semantic_end_id=155095,
+               im_end_id=151000 - 6)
     if args.small:
         cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=331,
                            im_end_id=3)
         seq = 128
+    elif args.train_full:
+        cfg = _dual_ar_mid(**sem)
+        seq = args.max_seq or 1024
     else:
-        cfg = dual_ar_s2_pro(
-            semantic_begin_id=151000, semantic_end_id=155095,
-            im_end_id=151000 - 6,
-        )
+        cfg = dual_ar_s2_pro(**sem)
         seq = args.max_seq or 1024
     cfg = dataclasses.replace(cfg, max_seq_len=seq).resolve()
 
     t0 = time.perf_counter()
     params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg,
                                   dtype=jnp.bfloat16)
-    lcfg = LoraConfig(r=args.lora_r, lora_alpha=16.0)
-    params = add_lora(params, cfg, lcfg, jax.random.PRNGKey(1),
-                      dtype=jnp.bfloat16)
-    cfg = apply_lora_config(cfg, lcfg)  # wires the LoRA path into forward
-    trainable = lora_filter(params)
+    if args.train_full:
+        trainable = None
+        mode = "full"
+    else:
+        lcfg = LoraConfig(r=args.lora_r, lora_alpha=16.0)
+        params = add_lora(params, cfg, lcfg, jax.random.PRNGKey(1),
+                          dtype=jnp.bfloat16)
+        cfg = apply_lora_config(cfg, lcfg)  # wires the LoRA path into forward
+        trainable = lora_filter(params)
+        mode = f"lora_r{args.lora_r}"
     n_params = dual_ar.param_count(params)
     jax.block_until_ready(params)
-    print(f"# init: {n_params/1e9:.2f}B params (+LoRA r={args.lora_r}) in "
+    print(f"# init: {n_params/1e9:.2f}B params ({mode}) in "
           f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     opt = make_optimizer(lr=1e-4, params=params, trainable_mask=trainable)
@@ -652,6 +748,20 @@ def run_train(args):
     print(f"# warmup+compile: {time.perf_counter()-t0:.1f}s "
           f"({w + 1} steps)", file=sys.stderr)
 
+    # static peak-HBM of the SETTLED program (lowered against the
+    # now-steady-state operand layouts; zero extra compile — the persistent
+    # cache already holds it) + analytic step FLOPs for MFU
+    from fish_speech_tpu.utils.flops import dual_ar_train_step_flops
+
+    hbm = _compiled_hbm(step.lower(params, opt_state, batch).compile())
+    plan = dual_ar_train_step_flops(
+        cfg, b, t, mode="full" if args.train_full else "lora",
+        remat=cfg.use_gradient_checkpointing)
+    flops = plan["total"]
+    print(f"# step flops (analytic, utils/flops.py): {flops/1e12:.2f} TF "
+          f"model / {plan['hfu_total']/1e12:.2f} TF incl. remat recompute; "
+          f"static HBM plan: {(hbm or 0)/2**30:.2f} GiB", file=sys.stderr)
+
     # synchronous per-step timing: fetch the loss every step (async
     # enqueue + block-on-last measured dispatch, not execution, through
     # the device tunnel)
@@ -666,22 +776,30 @@ def run_train(args):
     wall = time.perf_counter() - t0
     tokens_per_s = b * t * args.train_steps / wall
     assert losses[-1] != losses[0] or args.train_steps < 3, (
-        "loss did not move over the run — LoRA path disconnected?")
+        "loss did not move over the run — trainable path disconnected?")
 
+    platform = jax.devices()[0].platform
+    step_s = wall / args.train_steps
     _emit({
-        "metric": "lora_finetune_tokens_per_s",
+        "metric": ("full_finetune_tokens_per_s" if args.train_full
+                   else "lora_finetune_tokens_per_s"),
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": 0.0,  # no reference single-chip training baseline
         "extra": {
             "steps_per_s": round(args.train_steps / wall, 3),
+            "step_s": round(step_s, 3),
             "batch": b,
             "seq": t,
-            "lora_r": args.lora_r,
+            "mode": mode,
             "loss": round(float(metrics["loss"]), 4),
             "grad_norm": round(float(metrics["grad_norm"]), 6),
             "params_b": round(n_params / 1e9, 3),
-            "platform": jax.devices()[0].platform,
+            "platform": platform,
+            "step_tflops": round(flops / 1e12, 2),
+            "mfu": _mfu(flops, step_s, platform),
+            "hfu": _mfu(plan["hfu_total"], step_s, platform),
+            **({"hbm_static_gib": round(hbm / 2**30, 2)} if hbm else {}),
         },
     }, args)
 
@@ -819,22 +937,157 @@ def run_ttfa(args):
     }, args)
 
 
-def run_burst(args):
-    """Burst latency through the continuous batcher: `--clients` requests
-    submitted simultaneously onto a `--batch`-slot pool. With parked-
-    prefill admission every client's first frame streams back from its
-    admission prefill even when the pool is full, so first-chunk latency
-    stays sub-second at 2x oversubscription (round-1: p50 2.7 s)."""
-    import queue as queue_mod
-    import threading
+def run_mfu(args):
+    """MFU where compute binds (VERDICT r4 item 5): group prefill per
+    prompt bucket (the admission path), codec encode (voice-clone
+    references) and codec decode (streaming synthesis), each reported as
+    a fraction of the chip's 197 bf16 TFLOPs. FLOPs are analytic
+    (`utils/flops.py`, validated against XLA cost analysis in
+    tests/test_flops.py — the compiled executables' own cost_analysis
+    undercounts scanned stacks by ~the layer count). The LM decode path
+    is deliberately absent: it is bandwidth-bound (79% of the 819 GB/s
+    HBM spec at the serving config, `--profile`), so GB/s — not MFU —
+    is its binding metric.
+    """
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from fish_speech_tpu.config import (DACConfig, SamplingConfig,
+                                        dual_ar_s2_pro, dual_ar_tiny)
+    from fish_speech_tpu.generate import prefill_step
+    from fish_speech_tpu.models import dual_ar
+    from fish_speech_tpu.models.dac.model import (dac_encode,
+                                                  dac_from_indices, init_dac)
+    from fish_speech_tpu.utils import flops as FL
+
+    platform = jax.devices()[0].platform
+    if args.small:
+        cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=331,
+                           im_end_id=3)
+        buckets, rows_list, reps = [64, 128], [1, 4], 2
+        args.quant = "none" if args.quant == "int8" else args.quant
+    else:
+        cfg = dual_ar_s2_pro(semantic_begin_id=151000,
+                             semantic_end_id=155095, im_end_id=151000 - 6)
+        cfg = dataclasses.replace(cfg, max_seq_len=2048)
+        buckets, rows_list, reps = [128, 256, 512, 1024], [1, 16], 5
+    cfg = cfg.resolve()
+    dtype = jnp.float32 if args.small else jnp.bfloat16
+
+    t0 = time.perf_counter()
+    params = _bench_params(cfg, dtype, args.quant)
+    jax.block_until_ready(params)
+    print(f"# init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    scfg = SamplingConfig(mask_im_end=True)
+    pf = jax.jit(prefill_step, static_argnums=(1, 2))
+
+    rng = np.random.default_rng(0)
+    prefill_rows = {}
+    for rows in rows_list:
+        cache = dual_ar.init_kv_cache(cfg, rows, cfg.max_seq_len, dtype,
+                                      quant=args.kv_int8)
+        for bucket in buckets:
+            inp = np.zeros((rows, cfg.num_codebooks + 1, bucket), np.int32)
+            inp[:, 0] = rng.integers(10, 1000, size=(rows, bucket))
+            ops = (params, cfg, scfg, jnp.asarray(inp), cache,
+                   jnp.zeros((rows,), jnp.int32), jnp.int32(bucket),
+                   jax.random.PRNGKey(0), jnp.float32(0.8),
+                   jnp.float32(0.8), jnp.int32(30))
+            np.asarray(pf(*ops)[0])  # compile + execute (remote tunnel:
+            # only a data fetch proves completion; block_until_ready
+            # returns on the HANDLE, not the remote execution)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                col, _ = pf(*ops)
+            np.asarray(col)
+            wall = (time.perf_counter() - t0) / reps
+            fl = FL.dual_ar_prefill_flops(cfg, rows, bucket)
+            prefill_rows[f"{rows}x{bucket}"] = {
+                "ms": round(wall * 1e3, 1),
+                "tflops_s": round(fl / wall / 1e12, 1),
+                "mfu": _mfu(fl, wall, platform),
+                "tokens_per_s": round(rows * bucket / wall, 0),
+            }
+            print(f"# prefill {rows}x{bucket}: {prefill_rows[f'{rows}x{bucket}']}",
+                  file=sys.stderr)
+        del cache
+
+    # Codec at the serving shapes: encode a 30 s voice-clone reference;
+    # decode one 128-frame chunk (the steady-state streaming chunk).
+    ccfg = DACConfig()
+    cparams = init_dac(jax.random.PRNGKey(1), ccfg, dtype=dtype)
+    jax.block_until_ready(cparams)
+    seconds = 2 if args.small else 30
+    samples = ccfg.frame_length * int(seconds * ccfg.tokens_per_second)
+    audio = jnp.asarray(rng.standard_normal((1, 1, samples)), dtype)
+    enc = jax.jit(lambda p, a: dac_encode(p, ccfg, a)[0])
+    np.asarray(enc(cparams, audio))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        codes = enc(cparams, audio)
+    np.asarray(codes)
+    enc_wall = (time.perf_counter() - t0) / reps
+    enc_fl = FL.dac_encode_flops(ccfg, 1, samples)
+
+    frames = 16 if args.small else 128
+    codes = jnp.zeros((1, 1 + ccfg.rvq.n_codebooks, frames), jnp.int32)
+    dec = jax.jit(lambda p, c: dac_from_indices(p, ccfg, c))
+    np.asarray(dec(cparams, codes)[0, 0, :8])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        wav = dec(cparams, codes)
+    np.asarray(wav[0, 0, :8])  # tiny fetch forces the chain to finish
+    dec_wall = (time.perf_counter() - t0) / reps
+    dec_fl = FL.dac_decode_flops(ccfg, 1, frames)
+
+    codec = {
+        "encode_30s": {
+            "ms": round(enc_wall * 1e3, 1),
+            "tflops_s": round(enc_fl / enc_wall / 1e12, 2),
+            "mfu": _mfu(enc_fl, enc_wall, platform),
+            "x_realtime": round(samples / 44100.0 / enc_wall, 1),
+        },
+        "decode_128f": {
+            "ms": round(dec_wall * 1e3, 1),
+            "tflops_s": round(dec_fl / dec_wall / 1e12, 2),
+            "mfu": _mfu(dec_fl, dec_wall, platform),
+            "x_realtime": round(frames / FRAMES_PER_SECOND / dec_wall, 1),
+        },
+    }
+    for k, v in codec.items():
+        print(f"# codec {k}: {v}", file=sys.stderr)
+
+    head = prefill_rows.get("16x128") or next(iter(prefill_rows.values()))
+    _emit({
+        "metric": "prefill_mfu_16x128",
+        "value": head["mfu"] if head["mfu"] is not None else 0.0,
+        "unit": "fraction_of_197tf",
+        "vs_baseline": 0.0,  # no reference MFU baseline exists
+        "extra": {
+            "prefill": prefill_rows,
+            "codec": codec,
+            "platform": platform,
+            "quant": args.quant,
+            "flops_convention": "analytic model FLOPs (utils/flops.py); "
+                                "causal attention at ctx/2",
+        },
+    }, args)
+
+
+def _serving_pool(args, pool: int, max_seq: int):
+    """Model + ContinuousBatcher at the serving config — shared by the
+    closed-loop `--burst` and open-loop `--arrivals` benchmarks."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
     from fish_speech_tpu.config import (SamplingConfig, dual_ar_s2_pro,
                                         dual_ar_tiny)
-    from fish_speech_tpu.engine.batcher import BatchRequest, ContinuousBatcher
+    from fish_speech_tpu.engine.batcher import ContinuousBatcher
 
     if args.small:
         cfg = dual_ar_tiny(semantic_begin_id=300, semantic_end_id=4395,
@@ -845,13 +1098,7 @@ def run_burst(args):
             semantic_begin_id=151000, semantic_end_id=155095,
             im_end_id=151000 - 6,
         )
-    import dataclasses
-
-    if args.max_seq is None:
-        # mixed mode carries 1024-token voice-clone prompts; 1280 ctx keeps
-        # pool + parked KV inside the 16 GB chip at the default client count
-        args.max_seq = 1280 if args.mixed_prompts else 2048
-    cfg = dataclasses.replace(cfg, max_seq_len=args.max_seq).resolve()
+    cfg = dataclasses.replace(cfg, max_seq_len=max_seq).resolve()
     dtype = jnp.float32 if args.small else jnp.bfloat16
 
     t0 = time.perf_counter()
@@ -859,28 +1106,191 @@ def run_burst(args):
     jax.block_until_ready(params)
     print(f"# init: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    pool = args.batch if args.batch > 1 else 16
     batcher = ContinuousBatcher(
         params, cfg, SamplingConfig(), pool_size=pool, dtype=dtype,
         decode_chunk_size=args.chunk, first_chunk_size=args.first_chunk or 8,
         kv_quant=args.kv_int8,
         prefix_cache_size=4 if args.prefix_cache else 0,
     )
+    return cfg, batcher
+
+
+def _mk_prompt(cfg, rng, t: int, voice_clone: bool):
+    """Plain prompt = text ids only; voice-clone-shaped = a text head
+    followed by a semantic+codebook span (the encode_for_inference
+    layout a reference-audio request produces)."""
+    import numpy as np
+
+    p = np.zeros((cfg.num_codebooks + 1, t), np.int32)
+    p[0] = rng.integers(10, 1000, size=t)
+    if voice_clone and t > 48:
+        span = cfg.semantic_end_id - cfg.semantic_begin_id + 1
+        codes = rng.integers(0, cfg.codebook_size,
+                             size=(cfg.num_codebooks, t - 32))
+        p[0, 32:] = cfg.semantic_begin_id + codes[0] % span
+        p[1:, 32:] = codes
+    return p
+
+
+def run_arrivals(args):
+    """OPEN-LOOP serving latency (VERDICT r4 item 2): requests arrive by
+    a Poisson process at each offered load in the --rate sweep and are
+    submitted to the running ContinuousBatcher the moment they arrive —
+    unlike --burst (closed-loop, everything at once), a slow server here
+    does NOT slow the arrival process, so queueing delay shows up as
+    TTFA. Reports first-chunk p50/p90/p99 vs offered load and the max
+    load at which p50 stays under 200 ms (the reference's SGLang serving
+    story is ~100 ms TTFA under load, /root/reference/README.md:136).
+
+    Methodology: arrivals are pre-drawn (seeded exponential gaps) for
+    --duration seconds per rate; each request wants --steps frames; a
+    watcher thread stamps the first decode chunk against that request's
+    own submit time. The sweep stops early once a rate's p50 blows past
+    1 s (deep saturation — later rates are strictly worse)."""
+    import threading
+
+    import jax
+    import numpy as np
+
+    from fish_speech_tpu.engine.batcher import BatchRequest
+    from fish_speech_tpu.generate import pick_bucket
+
+    if args.max_seq is None:
+        args.max_seq = 2048
+    pool = args.batch
+    cfg, batcher = _serving_pool(args, pool, args.max_seq)
+    rng = np.random.default_rng(0)
+    rates = [float(r) for r in
+             (args.rate or ("1,2" if args.small else "2,4,6,8,10")).split(",")]
+
+    prompt = _mk_prompt(cfg, rng, args.prompt_len, args.voice_clone)
+    t0 = time.perf_counter()
+    times = batcher.precompile(
+        buckets=[pick_bucket(prompt.shape[1], batcher.cache_len)])
+    print(f"# precompile (parallel): {time.perf_counter()-t0:.1f}s "
+          f"({len(times)} programs)", file=sys.stderr)
+    # closed warmup burst: compiles admission/park/insert paths once so
+    # the open-loop sweep never pays a compile inside a latency sample
+    warm = [BatchRequest(prompt=prompt, max_new_tokens=8, seed=i)
+            for i in range(min(pool + 2, 8))]
+    for r in warm:
+        batcher.submit(r)
+    for r in warm:
+        while r.out.get() is not None:
+            pass
+    print(f"# warmup+compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    def run_rate(rate, tag):
+        gaps = rng.exponential(1.0 / rate, size=max(
+            4, int(rate * args.duration)))
+        arrive_at = np.cumsum(gaps)
+        arrive_at = arrive_at[arrive_at < args.duration]
+        n = len(arrive_at)
+        ttfa = [None] * n
+        done = [0] * n
+
+        def watch(i, q, submit_t):
+            while True:
+                item = q.get()
+                if item is None:
+                    done[i] = 1
+                    return
+                if ttfa[i] is None:
+                    ttfa[i] = time.perf_counter() - submit_t
+        threads = []
+        t_start = time.perf_counter()
+        late = 0.0
+        for i, at in enumerate(arrive_at):
+            now = time.perf_counter() - t_start
+            if now < at:
+                time.sleep(at - now)
+            else:
+                late = max(late, now - at)
+            req = BatchRequest(prompt=prompt, max_new_tokens=args.steps,
+                               seed=tag * 10000 + i)
+            submit_t = time.perf_counter()
+            th = threading.Thread(target=watch, args=(i, req.out, submit_t))
+            th.start()
+            threads.append(th)
+            batcher.submit(req)
+        for th in threads:
+            th.join(timeout=600)
+        wall = time.perf_counter() - t_start
+        lat = sorted(t for t in ttfa if t is not None)
+        if not lat:
+            return None
+
+        def pct(p):
+            return round(lat[min(len(lat) - 1, int(len(lat) * p))], 3)
+        return {
+            "ttfa_p50_s": round(lat[len(lat) // 2], 3),
+            "ttfa_p90_s": pct(0.9),
+            "ttfa_p99_s": pct(0.99),
+            "n": n,
+            "completed": sum(done),
+            "offered_req_s": round(rate, 2),
+            "achieved_req_s": round(sum(done) / wall, 2),
+            "frames_per_s": round(sum(done) * args.steps / wall, 1),
+            **({"max_submit_lag_s": round(late, 3)} if late > 0.05 else {}),
+        }
+
+    curve = {}
+    for tag, rate in enumerate(rates, start=1):
+        row = run_rate(rate, tag)
+        if row is None:
+            print(f"# rate {rate}: no first chunks returned", file=sys.stderr)
+            continue
+        curve[str(rate)] = row
+        print(f"# rate {rate}: {row}", file=sys.stderr)
+        if row["ttfa_p50_s"] > 1.0:
+            print(f"# rate {rate} deep in saturation — stopping sweep",
+                  file=sys.stderr)
+            break
+
+    ok_rates = [float(r) for r, row in curve.items()
+                if row["ttfa_p50_s"] < 0.200]
+    max_ok = max(ok_rates) if ok_rates else 0.0
+    _emit({
+        "metric": "poisson_max_load_ttfa_p50_lt200ms",
+        "value": round(max_ok, 2),
+        "unit": "req/s",
+        "vs_baseline": 0.0,  # no open-loop reference baseline published
+        "extra": {
+            "curve": curve,
+            "duration_s": args.duration,
+            "frames_per_req": args.steps,
+            "prompt_len": args.prompt_len,
+            "pool": pool,
+            "platform": jax.devices()[0].platform,
+            "quant": args.quant,
+            "kv": "int8" if args.kv_int8 else "bf16",
+        },
+    }, args)
+
+
+def run_burst(args):
+    """Burst latency through the continuous batcher: `--clients` requests
+    submitted simultaneously onto a `--batch`-slot pool. With parked-
+    prefill admission every client's first frame streams back from its
+    admission prefill even when the pool is full, so first-chunk latency
+    stays sub-second at 2x oversubscription (round-1: p50 2.7 s)."""
+    import threading
+
+    import jax
+    import numpy as np
+
+    from fish_speech_tpu.engine.batcher import BatchRequest
+
+    if args.max_seq is None:
+        # mixed mode carries 1024-token voice-clone prompts; 1280 ctx keeps
+        # pool + parked KV inside the 16 GB chip at the default client count
+        args.max_seq = 1280 if args.mixed_prompts else 2048
+    pool = args.batch if args.batch > 1 else 16
+    cfg, batcher = _serving_pool(args, pool, args.max_seq)
     rng = np.random.default_rng(0)
 
     def make_prompt(t, voice_clone: bool):
-        """Plain prompt = text ids only; voice-clone-shaped = a text head
-        followed by a semantic+codebook span (the encode_for_inference
-        layout a reference-audio request produces)."""
-        p = np.zeros((cfg.num_codebooks + 1, t), np.int32)
-        p[0] = rng.integers(10, 1000, size=t)
-        if voice_clone and t > 48:
-            span = cfg.semantic_end_id - cfg.semantic_begin_id + 1
-            codes = rng.integers(0, cfg.codebook_size,
-                                 size=(cfg.num_codebooks, t - 32))
-            p[0, 32:] = cfg.semantic_begin_id + codes[0] % span
-            p[1:, 32:] = codes
-        return p
+        return _mk_prompt(cfg, rng, t, voice_clone)
 
     if args.mixed_prompts:
         # the real burst shape: plain short requests interleaved with
