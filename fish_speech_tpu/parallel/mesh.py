@@ -307,6 +307,42 @@ def shard_params(params, cfg: DualARConfig, mesh: Mesh):
     )
 
 
+def host_shard(tree, spec_tree, mesh: Mesh):
+    """Place host-consistent arrays onto a (possibly multi-HOST) mesh.
+
+    `jax.device_put` only targets addressable devices; when the mesh spans
+    processes (multi-host serving, `server/main.py --coordinator`), each
+    process instead supplies the shards its local devices own via
+    `jax.make_array_from_callback`. Precondition: every process holds the
+    SAME full value for each leaf (same checkpoint loaded / same seeded
+    init), which is exactly how multi-host serving and the 2-process CPU
+    tests construct them. Works identically on a single-process mesh.
+
+    Axes a leaf cannot honor (dimension not divisible by the mesh axis,
+    e.g. a 1-KV-head tiny model on tp=2) degrade to replication for that
+    dimension — always numerically valid, GSPMD just all-gathers less."""
+    import numpy as np
+
+    def put(x, spec):
+        spec = spec if isinstance(spec, P) else spec.spec
+        host = np.asarray(x)
+        fixed = []
+        for d, ax in enumerate(tuple(spec) + (None,) * (host.ndim - len(spec))):
+            names = ax if isinstance(ax, tuple) else (ax,) if ax else ()
+            size = 1
+            for nm in names:
+                size *= mesh.shape[nm]
+            fixed.append(ax if size and host.shape[d] % size == 0 else None)
+        s = NamedSharding(mesh, P(*fixed))
+        return jax.make_array_from_callback(host.shape, s,
+                                            lambda idx: host[idx])
+
+    return jax.tree_util.tree_map(
+        put, tree, spec_tree,
+        is_leaf=lambda x: isinstance(x, P) or hasattr(x, "spec"),
+    )
+
+
 def to_named(mesh: Mesh, tree_of_specs):
     return jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s),

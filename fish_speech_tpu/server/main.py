@@ -18,7 +18,7 @@ import time
 logger = logging.getLogger("fish_speech_tpu.server")
 
 
-def build_engine(args):
+def build_engine(args, multihost: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -67,6 +67,27 @@ def build_engine(args):
 
         params = quantize_dual_ar_lowmem(params, mode="int8")
 
+    mesh = None
+    if multihost or jax.device_count() > jax.local_device_count():
+        # multi-host serving: shard the LM over the GLOBAL (dp=1, tp=all)
+        # mesh BEFORE the session builds (its head-preslice then runs on
+        # sharded params; w13 fusion auto-skips multidevice params). The
+        # codec and tokenizer stay process-local — only host 0 runs them.
+        from fish_speech_tpu.parallel.mesh import (dual_ar_param_specs,
+                                                   host_shard, make_mesh)
+
+        if args.pool_size > 1:
+            raise NotImplementedError(
+                "multi-host serving drives the single-stream session; "
+                "continuous batching across hosts is not wired yet "
+                "(--pool-size 1)")
+        if args.int8:
+            raise NotImplementedError(
+                "int8 leaves have no multi-host partition specs yet; "
+                "serve multi-host in bf16")
+        mesh = make_mesh(jax.devices(), dp=1, tp=jax.device_count())
+        params = host_shard(params, dual_ar_param_specs(cfg), mesh)
+
     if args.pool_size > 1:
         from fish_speech_tpu.engine.batcher import BatcherSession, ContinuousBatcher
 
@@ -85,6 +106,12 @@ def build_engine(args):
             # frames instead of a full chunk (time-to-first-audio)
             first_chunk_size=8, kv_quant=args.kv_int8,
             prefix_cache_size=args.prefix_cache,
+        )
+    if mesh is not None:
+        from fish_speech_tpu.parallel.mesh import host_shard, kv_cache_specs
+
+        session.cache = host_shard(
+            session.cache, kv_cache_specs(quant=args.kv_int8), mesh
         )
     # the single-stream session holds a fused-w13 weight copy; drop our
     # reference so the split originals free before warmup
@@ -198,13 +225,25 @@ def main(argv=None):
 
     from fish_speech_tpu.parallel.mesh import init_distributed
 
-    init_distributed(args.coordinator, args.num_hosts, args.host_id)
+    multihost = init_distributed(args.coordinator, args.num_hosts,
+                                 args.host_id)
 
     from aiohttp import web
 
     from fish_speech_tpu.server.app import create_app
 
-    engine = build_engine(args)
+    engine = build_engine(args, multihost=multihost)
+
+    if multihost:
+        from fish_speech_tpu.server import multihost as mh
+
+        if args.host_id != 0:
+            # followers never face HTTP: replay the leader's request
+            # stream in SPMD lockstep until the stop descriptor
+            mh.follower_loop(engine.session, engine.session.cfg)
+            return
+        mh.wrap_leader(engine.session, engine.session.cfg)
+
     if not args.no_warmup:
         warm_up(engine)
 
@@ -220,6 +259,10 @@ def main(argv=None):
         batcher = getattr(engine.session, "batcher", None)
         if batcher is not None:
             batcher.shutdown()
+        if multihost:
+            from fish_speech_tpu.server import multihost as mh
+
+            mh.broadcast_stop(engine.session, engine.session.cfg)
 
     app.on_cleanup.append(_drain_pool)
     host, port = args.listen.rsplit(":", 1)

@@ -61,6 +61,59 @@ def _run_workers():
     return procs, outs
 
 
+_SERVING_WORKER = Path(__file__).parent / "multihost_serving_worker.py"
+
+
+def test_two_process_serving_matches_single_process():
+    """Multi-host SERVING analogue of the trainer test: 2 processes x 1
+    virtual CPU device run the server's own `--coordinator` build path
+    (LM host_shard'ed over a (dp=1, tp=2) process-spanning mesh), host 0
+    leading via `server.multihost.wrap_leader` + `engine.inference`, host
+    1 replaying through `follower_loop` — and the leader's final audio is
+    byte-identical to an unsharded single-process engine on the same
+    requests/seeds."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("JAX_PLATFORMS", None)
+    repo_root = str(_SERVING_WORKER.parent.parent)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root]
+        + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    )
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(_SERVING_WORKER), port, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=repo_root, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    got = dict(re.findall(r"RESULT pid=0 seed=(\d+) audio=(\w+)", outs[0]))
+    assert set(got) == {"7", "8"}, outs[0][-2000:]
+    assert re.search(r"RESULT pid=1 served=(\d+)", outs[1]), outs[1][-2000:]
+
+    # unsharded single-process reference through the same server build path
+    sys.path.insert(0, str(_SERVING_WORKER.parent))
+    import multihost_serving_worker as w
+
+    from fish_speech_tpu.server.main import build_engine, parse_args
+
+    engine = build_engine(parse_args(w.WORKER_ARGS))
+    for seed in (7, 8):
+        assert w.run_request(engine, seed) == got[str(seed)], (
+            f"sharded 2-process audio diverged from single-process "
+            f"(seed {seed})"
+        )
+
+
 def test_two_process_train_step_matches_single_process():
     procs, outs = _run_workers()
     for p, out in zip(procs, outs):
