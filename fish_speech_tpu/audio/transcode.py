@@ -196,10 +196,45 @@ def _encode_subframe(x: np.ndarray, bps: int) -> Tuple[List[int], List[int]]:
             nbits + [int(b) for b in res_nbits])
 
 
+_flac_native = None
+_flac_native_tried = False
+
+
+def _flac_lib():
+    """ctypes handle to the native frame encoder (built on first use);
+    None when g++ is unavailable — callers fall back to the numpy path."""
+    global _flac_native, _flac_native_tried
+    if _flac_native is not None or _flac_native_tried:
+        return _flac_native
+    _flac_native_tried = True
+    try:
+        import ctypes
+
+        from fish_speech_tpu.native.build import build_flac
+
+        lib = ctypes.CDLL(str(build_flac()))
+        lib.fs_flac_encode_frames.restype = ctypes.c_int64
+        lib.fs_flac_encode_frames.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        _flac_native = lib
+    except Exception:  # noqa: BLE001 — any build/load failure -> numpy path
+        _flac_native = None
+    return _flac_native
+
+
 def encode_flac(audio: np.ndarray, sample_rate: int,
-                block_size: int = 4096) -> bytes:
+                block_size: int = 4096, _force_python: bool = False) -> bytes:
     """Encode int16 (N,) or (N, C) samples (float input in [-1,1] is
-    quantized) into a spec-conformant FLAC stream. Lossless for int16."""
+    quantized) into a spec-conformant FLAC stream. Lossless for int16.
+
+    Frames are produced by the native encoder (`native/flac_encode.c`,
+    byte-identical output, ~60x the numpy path — the numpy encoder's
+    0.4x-chip-rate ceiling was the one serving format that couldn't keep
+    up with the chip); the numpy path remains the no-toolchain fallback
+    and the correctness oracle (`_force_python=True`)."""
     if audio.dtype.kind == "f":
         audio = np.clip(audio, -1.0, 1.0)
         audio = (audio * 32767.0).round().astype(np.int16)
@@ -225,6 +260,25 @@ def encode_flac(audio: np.ndarray, sample_rate: int,
     si.write(md5)
     body = si.getvalue()
     out.write(bytes([0x80]) + len(body).to_bytes(3, "big") + body)
+
+    lib = None if _force_python else _flac_lib()
+    if lib is not None and n_total > 0:
+        import ctypes
+
+        inter = np.ascontiguousarray(audio, dtype=np.int16)
+        # worst case is all-verbatim frames + headers
+        n_frames = -(-n_total // block_size)
+        cap = n_total * n_ch * 2 + 64 * n_frames + 1024
+        buf = np.empty(cap, dtype=np.uint8)
+        n = lib.fs_flac_encode_frames(
+            inter.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            n_total, n_ch, block_size, sample_rate,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        )
+        if n > 0:
+            out.write(buf[:n].tobytes())
+            return out.getvalue()
+        # n <= 0: capacity/arg surprise — fall through to the numpy path
 
     for f_idx, start in enumerate(range(0, n_total, block_size)):
         block = audio[start:start + block_size]

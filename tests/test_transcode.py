@@ -25,6 +25,39 @@ def roundtrip(x, sr=44100, **kw):
     return data, got
 
 
+def test_native_flac_matches_python():
+    """The C frame encoder (`native/flac_encode.c`) must be byte-identical
+    to the numpy reference path on every subframe regime it can hit:
+    constant, low-order-fixed (tonal), high-entropy (noise -> large rice k
+    or verbatim), ramp, stereo, odd tail blocks, and empty input."""
+    from fish_speech_tpu.audio.transcode import _flac_lib
+
+    if _flac_lib() is None:
+        pytest.skip("native FLAC encoder unavailable (no C toolchain)")
+
+    rng = np.random.default_rng(7)
+    t = np.arange(4096 * 2 + 777)
+    cases = [
+        np.full(5, 123, np.int16),                                 # constant
+        np.zeros(4096, np.int16),                                  # silence
+        (8000 * np.sin(t * 0.03)).astype(np.int16),                # tonal
+        rng.integers(-32000, 32000, size=9000).astype(np.int16),   # noise
+        (t % 2000 - 1000).astype(np.int16),                        # ramp
+        rng.integers(-2000, 2000, size=(10000, 2)).astype(np.int16),
+        np.int16([]),                                              # empty
+        np.int16([-32768, 32767, 0]),                              # extremes
+    ]
+    for i, x in enumerate(cases):
+        py = encode_flac(x, 44100, _force_python=True)
+        nat = encode_flac(x, 44100)
+        assert py == nat, f"case {i}: native/python byte mismatch"
+        if x.size:  # lossless through the full decoder too
+            got, _ = decode_flac(nat)
+            np.testing.assert_array_equal(
+                np.squeeze(got).astype(np.int16), np.squeeze(x)
+            )
+
+
 def test_flac_roundtrip_mono_lossless():
     rng = np.random.default_rng(0)
     # tonal + noise: realistic speech-like signal
