@@ -241,6 +241,13 @@ def _parse():
                              "= ~11 req/s)")
     parser.add_argument("--duration", type=float, default=20.0,
                         help="arrivals mode: seconds of arrivals per rate")
+    parser.add_argument("--admit-every", type=int, default=4,
+                        help="batcher modes: pipelined sub-chunk length — "
+                             "the worker checks for new arrivals every "
+                             "this many decode steps while keeping the "
+                             "device back-to-back (2 sub-chunks in "
+                             "flight). 0 = monolithic --chunk dispatches "
+                             "(the pre-round-5 worker)")
     parser.add_argument("--mfu", action="store_true",
                         help="roofline probe for the COMPUTE-bound paths: "
                              "time group prefill per prompt bucket and "
@@ -1111,6 +1118,7 @@ def _serving_pool(args, pool: int, max_seq: int):
         decode_chunk_size=args.chunk, first_chunk_size=args.first_chunk or 8,
         kv_quant=args.kv_int8,
         prefix_cache_size=4 if args.prefix_cache else 0,
+        admit_every=args.admit_every,
     )
     return cfg, batcher
 
@@ -1178,6 +1186,15 @@ def run_arrivals(args):
     for r in warm:
         while r.out.get() is not None:
             pass
+    # staggered warm arrivals: the first few OPEN-LOOP admissions after
+    # the closed burst pay a one-time server-side cost (measured 1.3-1.5 s
+    # on arrival indices 0-2 of the first rate and never again — the
+    # worst-sample attribution below); absorb it before the sweep
+    for i in range(3):
+        r = BatchRequest(prompt=prompt, max_new_tokens=16, seed=7000 + i)
+        batcher.submit(r)
+        while r.out.get() is not None:
+            pass
     print(f"# warmup+compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     def run_rate(rate, tag):
@@ -1219,6 +1236,15 @@ def run_arrivals(args):
         lat = sorted(t for t in ttfa if t is not None)
         if not lat:
             return None
+        # attribution for tail samples: WHICH arrivals were slow (an
+        # early-index cluster = warm-up residue; a late cluster = queue
+        # buildup; scattered = tunnel stalls)
+        worst = sorted(
+            ((t, i) for i, t in enumerate(ttfa) if t is not None),
+            reverse=True)[:3]
+        print(f"#   worst samples (ttfa_s, arrival_idx/{n}, at_s): "
+              + ", ".join(f"({t:.2f}, {i}, {arrive_at[i]:.1f})"
+                          for t, i in worst), file=sys.stderr)
 
         def pct(p):
             return round(lat[min(len(lat) - 1, int(len(lat) * p))], 3)
@@ -1247,6 +1273,7 @@ def run_arrivals(args):
                   file=sys.stderr)
             break
 
+    batcher.shutdown()  # a live worker thread aborts interpreter teardown
     ok_rates = [float(r) for r, row in curve.items()
                 if row["ttfa_p50_s"] < 0.200]
     max_ok = max(ok_rates) if ok_rates else 0.0

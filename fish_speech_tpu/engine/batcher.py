@@ -6,7 +6,12 @@ delegated to external SGLang). Here it is first-class:
   * a worker thread owns the device state: a pooled KV cache
     (L, POOL, S, Hkv, Dh) plus per-slot host state;
   * new requests prefill into a scratch cache (bucketed compile) and are
-    inserted into free slots between decode chunks; bursty arrivals are
+    inserted into free slots between decode sub-chunks: long chunks are
+    dispatched as PIPELINED sub-chunks (`admit_every` steps, two in
+    flight so the device runs back-to-back while fetches ride under
+    device time) and the worker stops dispatching the rest of a chunk
+    the moment a request arrives — open-loop admission wait is ~2
+    sub-chunks, not a full chunk (`_run_chunk`); bursty arrivals are
     prefetched in GROUPS (one batched right-aligned prefill per prompt
     bucket, group sizes in {16,4,1}) so admission cost amortizes instead of
     serializing against the pool decode;
@@ -78,14 +83,21 @@ def _seed_keys(seeds):
     )(seeds)
 
 
-@functools.partial(jax.jit, donate_argnums=tuple(range(8)))
+@functools.partial(jax.jit, donate_argnums=(0, 2, 3, 5, 6, 7))
 def _apply_admission(token, pos, window, keys, active, temperature, top_p,
                      top_k, mask, n_token, n_pos, n_keys, n_temp, n_top_p,
                      n_top_k):
     """Fold newly admitted rows into the pool's device state in ONE
     fixed-shape jitted call (all args are full-pool-sized, so this compiles
     exactly once; eager per-row scatters would recompile per distinct
-    admission-group size — seconds each through this remote compiler)."""
+    admission-group size — seconds each through this remote compiler).
+
+    `pos` (1) and `active` (4) are deliberately NOT donated: the worker's
+    overlapped admission (`_run_chunk.interrupt`) runs this while decode
+    sub-chunks are still in flight, and each in-flight entry holds the
+    pos/active handles of ITS dispatch for emission bookkeeping — donating
+    them here deletes the buffers under those entries ("Array has been
+    deleted"). They are pool-sized vectors; the copy is noise."""
     m1 = mask[:, None]
     return (
         jnp.where(m1, n_token, token),
@@ -215,7 +227,7 @@ class ContinuousBatcher:
                  pool_size: int = 4, dtype=jnp.bfloat16,
                  decode_chunk_size: int = 16, first_chunk_size: int = 0,
                  idle_sleep: float = 0.002, kv_quant: bool = False,
-                 prefix_cache_size: int = 0):
+                 prefix_cache_size: int = 0, admit_every: int = 4):
         from fish_speech_tpu.models.dual_ar import precompute_semantic_head
 
         # pre-sliced restricted head (see GenerationSession). No w13 fusion
@@ -228,6 +240,9 @@ class ContinuousBatcher:
         self.pool_size = pool_size
         self.chunk = decode_chunk_size
         self.first_chunk = first_chunk_size or decode_chunk_size
+        # pipelined sub-chunk length (`_run_chunk`): admission-wait bound
+        # ~2 sub-chunks; 0 = monolithic chunks (the pre-round-5 behavior)
+        self.admit_every = admit_every
         self.idle_sleep = idle_sleep
         self.cache_len = self.cfg.max_seq_len + decode_chunk_size
         self.kv_buckets = tuple(
@@ -748,7 +763,7 @@ class ContinuousBatcher:
         vec_i = jnp.full((p,), 30, jnp.int32)
 
         jobs = {}
-        for n in sorted({self.first_chunk, self.chunk}):
+        for n in self._decode_lengths():
             for kv_len in self.kv_buckets:
                 jobs[f"decode_{n}@{kv_len}"] = (
                     lambda n=n, kv=kv_len: decode_chunk_multi.lower(
@@ -803,7 +818,7 @@ class ContinuousBatcher:
         # register for AOT dispatch (see __init__._aot): the worker loop
         # dispatches through these same executables, so the programs warmed
         # below are the programs serving actually runs
-        for n in sorted({self.first_chunk, self.chunk}):
+        for n in self._decode_lengths():
             for kv_len in self.kv_buckets:
                 self._aot[("decode", n, kv_len)] = (
                     compiled[f"decode_{n}@{kv_len}"]
@@ -824,7 +839,7 @@ class ContinuousBatcher:
             # their existing value-preserving no-op calls.
             t0 = _time.perf_counter()
             fresh = []
-            for n in sorted({self.first_chunk, self.chunk}):
+            for n in self._decode_lengths():
                 for kv_len in self.kv_buckets:
                     res = compiled[f"decode_{n}@{kv_len}"](
                         self.params, token, self.pool, pos, window, keys,
@@ -977,39 +992,155 @@ class ContinuousBatcher:
                 sum(pk.rows_alloc for pk in self.parked) < self.park_max_rows
             )
             n = self.first_chunk if (admitted or waiting_park) else self.chunk
-            max_pos = max(
-                (s.pos for s in self.slots if s.active), default=0
-            )
-            kv_len = next(
-                (b for b in self.kv_buckets if max_pos + n + 1 <= b),
-                self.cache_len,
-            )
-            (cols, self.token, self.pool, self.pos, self.window, self.keys,
-             self.active) = self._dispatch_decode(
-                n, kv_len, self.token, self.pool, self.pos, self.window,
-                self.keys, self.active, self.temperature, self.top_p,
-                self.top_k,
-            )
-            cols_np = np.asarray(cols)  # (n, B, C+1)
-            _dbg(f"chunk n={n} kv={kv_len} active={int(np.asarray(self.active).sum())}")
-            still_active = np.asarray(self.active)
-            pos_np = np.asarray(self.pos)
-            for i, s in enumerate(self.slots):
-                if s.active:
-                    s.pos = int(pos_np[i])
+            self._run_chunk(n)
 
+    def _admit_possible(self) -> bool:
+        """Whether an `_admit` pass could place a pending request right
+        now (free pool slot, or parked-row budget for an overflow
+        prefill) — the gate for abandoning a chunk's remaining
+        sub-chunks early."""
+        if any(not s.active for s in self.slots):
+            return True
+        return (
+            sum(pk.rows_alloc for pk in self.parked) < self.park_max_rows
+        )
+
+    def _chunk_plan(self, n: int):
+        """Split an n-step chunk into pipelined sub-chunk dispatch lengths
+        (each distinct length is one compile signature per kv bucket)."""
+        sub = self.admit_every
+        if not sub or n <= sub:
+            return [n]
+        plan = [sub] * (n // sub)
+        if n % sub:
+            plan.append(n % sub)
+        return plan
+
+    def _decode_lengths(self):
+        """Every decode-step count the worker can dispatch (precompile
+        covers exactly these)."""
+        return sorted(set(self._chunk_plan(self.chunk))
+                      | set(self._chunk_plan(self.first_chunk)))
+
+    def _run_chunk(self, n: int):
+        """Dispatch an n-step decode as PIPELINED sub-chunks with early
+        admission (open-loop latency, round 5).
+
+        One monolithic n-step dispatch made the worker deaf for its whole
+        duration: a request arriving just after dispatch waited the full
+        chunk (a 128-step chunk on the 32-slot flagship pool is ~2.8 s of
+        device time — the measured open-loop TTFA p50 at 2 req/s was
+        1.63 s, almost all of it this wait). Simply shrinking the chunk
+        pays one host fetch round-trip PER chunk while the device idles
+        (measured on the 32-stream default: 1536 f/s at 128-step chunks,
+        1494 at 32, 1348 at 16 — ~46 ms/chunk of gap through the remote
+        tunnel).
+
+        This loop keeps both properties: sub-chunks of `admit_every`
+        steps are dispatched with up to TWO in flight, so the device runs
+        back-to-back (sub-chunk i+1 executes while the host fetches i's
+        columns across the tunnel — the fetch RTT hides under device
+        time), frames stream to clients per sub-chunk, and the pending
+        queue is checked BEFORE each dispatch and between fetches. On
+        arrival the remaining sub-chunks are not dispatched and `_admit`
+        runs IMMEDIATELY, WHILE the already-dispatched sub-chunks are
+        still in flight: its admission prefill enqueues right behind them
+        on the device, so the new request's first frame starts computing
+        ~one sub-chunk after arrival and the pipeline never drains idle
+        (the pre-overlap design drained first and paid one exposed fetch
+        RTT per admission — measured as 759 → 619 f/s at saturation when
+        the sub-chunk length was dropped 8 → 4 for latency). The
+        interrupt only fires when admission could actually make progress
+        (a free slot or parked-row budget, `_admit_possible`) — under
+        sustained overload the backlog can only drain when slots free,
+        and abandoning chunks there buys nothing.
+
+        Because `_admit` can hand a slot to a NEW request while an older
+        sub-chunk is still in flight, each in-flight entry carries a
+        SNAPSHOT of (request-per-slot, active, pos) from its dispatch:
+        emission bookkeeping only touches slots still owned by the
+        request that was decoding when that sub-chunk launched — a slot
+        whose request finished in sub-chunk i and was re-filled by the
+        overlapped admission must not receive sub-chunk i+1's frozen
+        columns (the device masked the old row at its im_end; the new
+        row only decodes from the chunk dispatched after its insert)."""
+        from collections import deque
+
+        cfg = self.cfg
+        plan = self._chunk_plan(n)
+        max_pos_est = max((s.pos for s in self.slots if s.active), default=0)
+        inflight = deque()
+        next_i = 0
+        stop_dispatch = False
+
+        def interrupt() -> bool:
+            if self._stop.is_set():
+                return True
+            if self.pending.empty() or not self._admit_possible():
+                return False
+            # overlapped admission: the prefill + insert dispatches queue
+            # behind the in-flight sub-chunks; their entries drain below
+            # with snapshot gating
+            self._admit()
+            return True
+
+        while next_i < len(plan) or inflight:
+            while (not stop_dispatch and next_i < len(plan)
+                   and len(inflight) < 2):
+                if inflight and interrupt():
+                    # don't enqueue more device work ahead of a new
+                    # request's admission (the first dispatch always
+                    # proceeds — the pool must advance even with a
+                    # backlog the admission pass cannot place yet)
+                    stop_dispatch = True
+                    next_i = len(plan)
+                    break
+                ni = plan[next_i]
+                kv_len = next(
+                    (b for b in self.kv_buckets
+                     if max_pos_est + ni + 1 <= b),
+                    self.cache_len,
+                )
+                owners = tuple(
+                    s.request if s.active else None for s in self.slots
+                )
+                (cols, self.token, self.pool, self.pos, self.window,
+                 self.keys, self.active) = self._dispatch_decode(
+                    ni, kv_len, self.token, self.pool, self.pos, self.window,
+                    self.keys, self.active, self.temperature, self.top_p,
+                    self.top_k,
+                )
+                # stream results host-ward as the device produces them:
+                # the drain's np.asarray then finds bytes already local
+                # instead of paying a tunnel round-trip per entry (the
+                # drain sits on the admission critical path)
+                for h in (cols, self.active, self.pos):
+                    try:
+                        h.copy_to_host_async()
+                    except AttributeError:
+                        break
+                inflight.append((ni, cols, self.active, self.pos, owners))
+                max_pos_est += ni
+                next_i += 1
+
+            ni, cols, active_h, pos_h, owners = inflight.popleft()
+            cols_np = np.asarray(cols)  # (ni, B, C+1)
+            _dbg(f"chunk n={ni} active={int(np.asarray(active_h).sum())}")
+            still_active = np.asarray(active_h)
+            pos_np = np.asarray(pos_h)
             for i, s in enumerate(self.slots):
-                if not s.active:
-                    continue
-                slot_cols = cols_np[:, i]  # (n, C+1)
+                if owners[i] is None or s.request is not owners[i]:
+                    continue  # freed, or re-owned by overlapped admission
+                s.pos = int(pos_np[i])
+                slot_cols = cols_np[:, i]  # (ni, C+1)
                 ends = np.nonzero(slot_cols[:, 0] == cfg.im_end_id)[0]
                 n_emit = min(
-                    int(ends[0]) + 1 if len(ends) else n,
+                    int(ends[0]) + 1 if len(ends) else ni,
                     s.budget_left,
                 )
                 if n_emit > 0:
                     s.request.out.put(slot_cols[:n_emit])
-                s.budget_left -= n
+                s.budget_left -= ni
                 finished = len(ends) > 0 or s.budget_left <= 0 or not bool(
                     still_active[i]
                 )
@@ -1018,3 +1149,7 @@ class ContinuousBatcher:
                     s.active = False
                     s.request = None
                     self.active = self.active.at[i].set(False)
+
+            if not stop_dispatch and interrupt():
+                stop_dispatch = True
+                next_i = len(plan)  # abandon the rest; drain in-flight

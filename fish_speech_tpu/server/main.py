@@ -96,6 +96,7 @@ def build_engine(args, multihost: bool = False):
             dtype=dtype, decode_chunk_size=args.decode_chunk_size,
             first_chunk_size=8, kv_quant=args.kv_int8,
             prefix_cache_size=args.prefix_cache,
+            admit_every=args.admit_every,
         )
         session = BatcherSession(batcher)
     else:
@@ -188,6 +189,12 @@ def parse_args(argv=None):
     parser.add_argument("--pool-size", type=int, default=1,
                         help=">1 enables continuous batching: a shared "
                              "decode pool serving this many streams")
+    parser.add_argument("--admit-every", type=int, default=4,
+                        help="pooled decode sub-chunk length: the worker "
+                             "checks for new arrivals every this many "
+                             "steps (two sub-chunks pipelined so the "
+                             "device stays back-to-back); 0 = monolithic "
+                             "--decode-chunk-size dispatches")
     parser.add_argument("--prefix-cache", type=int, default=4,
                         help="voice-clone prefix cache entries (0 disables)"
                              ": repeat-speaker requests restore the "

@@ -174,6 +174,9 @@ def main(argv=None):
     p.add_argument("--pool-size", type=int, default=8,
                    help="continuous-batcher decode slots (1 = plain session)")
     p.add_argument("--decode-chunk-size", type=int, default=64)
+    p.add_argument("--admit-every", type=int, default=4,
+                   help="pooled decode sub-chunk length (0 = monolithic "
+                        "chunks); see server --admit-every")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--kv-int8", dest="kv_int8", action="store_true")
     p.add_argument("--prefix-cache", type=int, default=0)

@@ -878,3 +878,160 @@ def test_batcher_stale_aot_entry_evicted_falls_back_to_jit():
             assert k not in b._aot  # evicted, later chunks go straight to jit
     finally:
         b.shutdown()
+
+
+def test_subchunk_pipelining_matches_monolithic_and_admits_mid_chunk():
+    """Round-5 worker: `_run_chunk` dispatches a long decode chunk as
+    pipelined sub-chunks (`admit_every`) with up to two in flight and
+    early-exits to `_admit` when a request arrives mid-chunk.
+
+    (a) Token streams are IDENTICAL to the monolithic worker
+        (admit_every=0): sub-chunking only changes dispatch granularity,
+        never the math (per-request keys are seed-derived, decode chunking
+        is length-invariant).
+    (b) A request submitted while the pool is mid-way through a long
+        chunk gets its first frame well before the in-progress request's
+        chunk budget drains — the monolithic worker could not admit until
+        the full chunk finished.
+    """
+    import time
+
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3,
+        max_seq_len=512,
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.float32)
+    prompt_a = random_prompt(cfg, 12, np.random.default_rng(1))
+    prompt_b = random_prompt(cfg, 12, np.random.default_rng(2))
+
+    outs = {}
+    for tag, admit_every in (("mono", 0), ("sub", 4)):
+        b = ContinuousBatcher(
+            params, cfg, SamplingConfig(mask_im_end=True), pool_size=2,
+            dtype=jnp.float32, decode_chunk_size=64, first_chunk_size=4,
+            admit_every=admit_every,
+        )
+        try:
+            ra = BatchRequest(prompt=prompt_a, max_new_tokens=200, seed=5)
+            b.submit(ra)
+            first_a = ra.out.get(timeout=120)  # A is streaming
+            # stagger the second submission so it lands MID-plan (the
+            # early-exit path `_run_chunk` must abandon the remaining
+            # sub-chunks without draining an already-empty in-flight
+            # queue — the round-5 crash found on the real chip)
+            time.sleep(0.05)
+            t0 = time.perf_counter()
+            rb = BatchRequest(prompt=prompt_b, max_new_tokens=32, seed=6)
+            b.submit(rb)
+            first_b = rb.out.get(timeout=120)
+            ttfa_b = time.perf_counter() - t0
+            chunks = {"a": [first_a], "b": [first_b]}
+            for k, r in (("a", ra), ("b", rb)):
+                while True:
+                    item = r.out.get(timeout=120)
+                    if item is None:
+                        break
+                    assert not isinstance(item, BaseException), item
+                    chunks[k].append(item)
+            outs[tag] = {
+                k: np.concatenate(v, axis=0) for k, v in chunks.items()
+            }
+            outs[tag]["ttfa_b"] = ttfa_b
+        finally:
+            b.shutdown()
+
+    np.testing.assert_array_equal(outs["mono"]["a"], outs["sub"]["a"])
+    np.testing.assert_array_equal(outs["mono"]["b"], outs["sub"]["b"])
+    # responsiveness: B's admission must not have waited for A's full
+    # 64-step chunk — with sub-chunks of 4 it waits <=2 sub-chunks plus
+    # its own prefill. Generous CPU-timing margin: a full chunk after the
+    # early-exit fix never runs while B waits, so sub must beat mono's
+    # structural floor rather than a wall-clock constant.
+    assert outs["sub"]["ttfa_b"] < outs["mono"]["ttfa_b"], (
+        outs["sub"]["ttfa_b"], outs["mono"]["ttfa_b"],
+    )
+
+
+def test_overload_keeps_full_chunks_when_admission_blocked():
+    """The sub-chunk early exit is GATED on `_admit_possible`: a request
+    that arrives while the pool is full AND the parked-row budget is
+    exhausted cannot be placed, so abandoning the chunk's remaining
+    sub-chunks would buy nothing but pipeline drains (one exposed fetch
+    RTT per abandoned chunk). Observable contract: while blocked, the
+    worker runs ~one `_admit` pass per FULL chunk plan (4 sub-chunk
+    dispatches at chunk=8/admit_every=2), not one per sub-chunk."""
+    import time
+
+    cfg = dual_ar_tiny(
+        # wide semantic range: im_end draws at the admission PREFILL are
+        # ~2e-4/request (mask_im_end only governs pool decode), so the
+        # park budget deterministically fills with these seeds
+        semantic_begin_id=300, semantic_end_id=4395, im_end_id=3,
+        codebook_size=4096, max_seq_len=2048,
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    b = ContinuousBatcher(
+        params, cfg, SamplingConfig(mask_im_end=True), pool_size=2,
+        dtype=jnp.float32, decode_chunk_size=8, first_chunk_size=2,
+        admit_every=2,
+    )
+    orig_admit = orig_dispatch = None
+    reqs, blocked = [], None
+    try:
+        # 2 fill the pool, 4 exhaust the parked-row budget (2x pool)
+        reqs = [BatchRequest(prompt=random_prompt(cfg, 12, rng),
+                             max_new_tokens=1500, seed=i)
+                for i in range(6)]
+        for r in reqs:
+            b.submit(r)
+        for r in reqs:  # every request streamed its prefill first frame
+            assert r.out.get(timeout=120) is not None
+        # wait for the parked-row budget itself: `queued` drops to 0 the
+        # moment the last overflow request enters its _park_group call,
+        # BEFORE its parked entry lands (observed race)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if (all(s.active for s in b.slots) and
+                    sum(pk.rows_alloc for pk in b.parked)
+                    >= b.park_max_rows):
+                break
+            time.sleep(0.02)
+        assert sum(pk.rows_alloc for pk in b.parked) >= b.park_max_rows
+
+        counts = {"admit": 0, "dispatch": 0}
+        orig_admit, orig_dispatch = b._admit, b._dispatch_decode
+
+        def admit_counted():
+            counts["admit"] += 1
+            return orig_admit()
+
+        def dispatch_counted(*a, **kw):
+            counts["dispatch"] += 1
+            return orig_dispatch(*a, **kw)
+
+        b._admit = admit_counted
+        b._dispatch_decode = dispatch_counted
+        # arrives mid-decode; pool full + park budget exhausted means
+        # _admit_possible() is False -> the worker must NOT abandon chunks
+        blocked = BatchRequest(prompt=random_prompt(cfg, 12, rng),
+                               max_new_tokens=8, seed=99)
+        b.submit(blocked)
+        deadline = time.time() + 60
+        while counts["dispatch"] < 24 and time.time() < deadline:
+            time.sleep(0.02)
+        assert counts["dispatch"] >= 24, counts
+        # full chunks: ~4 dispatches per admit pass (allow margin for the
+        # passes bracketing the instrumentation window)
+        assert counts["dispatch"] >= 3 * counts["admit"], counts
+    finally:
+        if orig_admit is not None:
+            b._admit = orig_admit
+            b._dispatch_decode = orig_dispatch
+        for r in reqs:
+            r.cancelled.set()
+        if blocked is not None:
+            blocked.cancelled.set()
+        b.shutdown()
