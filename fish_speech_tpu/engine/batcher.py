@@ -404,11 +404,15 @@ class ContinuousBatcher:
         outputs are independent of how admissions happen to be grouped.
 
         When the pool is FULL, overflow requests are still prefilled into
-        PARKED device caches (at most one group per call, interleaved with
-        pool decode chunks; total parked rows bounded) so every client
-        receives its first frame promptly; freed slots then receive parked
-        rows without re-prefilling. FIFO order is preserved: parked groups
-        predate everything in the overflow list.
+        PARKED device caches (all groups up to the parked-row budget,
+        front-loaded) so every client receives its first frame promptly;
+        freed slots then receive parked rows without re-prefilling. FIFO
+        order is preserved: parked groups predate everything in the
+        overflow list. Both admission sites run TWO-PHASE: every group's
+        prefill is enqueued before any group's columns are fetched, so a
+        cold burst's admission prefills execute back-to-back on the
+        device (round 5; previously each group paid a fetch + emission
+        pass before the next group dispatched).
         """
         self._drain_pending()
         self._reap_cancelled()
@@ -440,6 +444,11 @@ class ContinuousBatcher:
             for req in batch:
                 b = pick_bucket(req.prompt.shape[1], self.cache_len)
                 by_bucket.setdefault(b, []).append(req)
+            # two-phase: enqueue EVERY group's prefill first (device runs
+            # them back-to-back), then fetch+emit+activate in FIFO order —
+            # group i's tunnel fetch rides under group i+1's device time
+            # instead of serializing a cold burst's admissions
+            staged = []
             for bucket, reqs in sorted(by_bucket.items()):
                 i = 0
                 for k in self._group_plan(len(reqs)):
@@ -450,13 +459,15 @@ class ContinuousBatcher:
                     group = reqs[i : i + k]
                     i += k
                     _dbg(f"admit_group k={k} bucket={bucket}")
-                    pk = self._prefill_parked(bucket, group)
-                    if pk is not None:
-                        avail = pk.pending_rows()
-                        rows = free[: len(avail)]
-                        free = free[len(avail):]
-                        self._activate_parked(pk, avail, rows)
-                    _dbg(f"admit_group k={k} done")
+                    staged.append(self._prefill_dispatch(bucket, group))
+            for st in staged:
+                pk = self._prefill_finalize(st)
+                if pk is not None:
+                    avail = pk.pending_rows()
+                    rows = free[: len(avail)]
+                    free = free[len(avail):]
+                    self._activate_parked(pk, avail, rows)
+                _dbg("admit_group done")
             admitted = True
 
         # 3. park overflow groups up to the parked-row budget — ALL of
@@ -473,15 +484,24 @@ class ContinuousBatcher:
         #    parked device memory stays bounded by park_max_rows regardless
         #    of fragmentation.
         parked_rows = sum(pk.rows_alloc for pk in self.parked)
+        staged = []
         while self._overflow and parked_rows < self.park_max_rows:
             n_overflow = len(self._overflow)
-            self._park_group(self.park_max_rows - parked_rows)
-            new_rows = sum(pk.rows_alloc for pk in self.parked)
-            if new_rows == parked_rows and len(self._overflow) == n_overflow:
+            bucket, reqs = self._select_park_group(
+                self.park_max_rows - parked_rows)
+            if len(self._overflow) == n_overflow:
                 break  # no progress at all (defensive; cannot recur)
-            # a group that died instantly (im_end at prefill) still shrank
-            # the overflow list — keep front-loading the rest
-            parked_rows = new_rows
+            staged.append(self._prefill_dispatch(bucket, reqs))
+            # budget counts ALLOCATED rows at dispatch time; a group that
+            # dies instantly at its prefill frame frees its rows on the
+            # next admission pass (one pass more conservative than the
+            # serial design, never over budget)
+            parked_rows += _alloc_rows(len(reqs))
+        for st in staged:
+            pk = self._prefill_finalize(st)
+            if pk is not None:
+                self.parked.append(pk)
+            _dbg("park_group done")
 
         return admitted
 
@@ -507,16 +527,17 @@ class ContinuousBatcher:
                 sizes.extend([1] * n)
         return sizes
 
-    def _park_group(self, max_rows: int):
-        """Prefill one overflow group and PARK it (no free slots).
+    def _select_park_group(self, max_rows: int):
+        """Pick one overflow group to park (host-only selection; the
+        prefill dispatch happens separately so a burst's groups can
+        pipeline on the device).
 
         The group gathers the oldest request's BUCKET across the whole
         overflow list (not just its contiguous prefix): interleaved
         mixed-length arrivals would otherwise degrade every group to a
         single row. Per-bucket FIFO is preserved; other buckets wait at
-        most one group. One group per call; `_admit` loops this up to the
-        parked-row budget so a cold burst front-loads all its prefills."""
-        cfg = self.cfg
+        most one group. Returns (bucket, reqs) with the reqs removed
+        from the overflow list."""
         bucket = pick_bucket(self._overflow[0].prompt.shape[1], self.cache_len)
         cap = min(16, max_rows, max(self.pool_size, 1))
         run_idx = [
@@ -533,17 +554,23 @@ class ContinuousBatcher:
         for i in reversed(run_idx[:k]):
             del self._overflow[i]
         _dbg(f"park_group k={k} bucket={bucket}")
-        pk = self._prefill_parked(bucket, reqs)
-        if pk is not None:
-            self.parked.append(pk)
-        _dbg(f"park_group k={k} done")
+        return bucket, reqs
 
     def _prefill_parked(self, bucket: int, reqs) -> Optional[_Parked]:
         """Group-prefill `reqs` (first frames stream back immediately) and
         return the parked entry, or None if nothing survives (instant
         im_end / exhausted budget). Used by BOTH direct admission (rows
         activate right away) and burst overflow (rows activate when slots
-        free)."""
+        free). One-group convenience over dispatch+finalize; multi-group
+        admissions call the phases directly so group i+1's prefill
+        executes while group i's columns cross the tunnel."""
+        return self._prefill_finalize(self._prefill_dispatch(bucket, reqs))
+
+    def _prefill_dispatch(self, bucket: int, reqs):
+        """Phase 1: enqueue the group prefill on the device and return
+        staged handles — NO host sync, so a cold burst's admission groups
+        run back-to-back on the device instead of paying one fetch RTT +
+        emission pass between groups."""
         cfg, scfg = self.cfg, self.scfg
         self._ensure_bucket_compiled(bucket)
         k = len(reqs)
@@ -611,6 +638,20 @@ class ContinuousBatcher:
                     {name: arr[:, :1, :bucket] for name, arr in cache.items()},
                     bucket,
                 )
+        for h in (column, next_keys):
+            try:
+                h.copy_to_host_async()
+            except AttributeError:
+                break
+        return reqs, t_ends, column, next_keys, cache, ksig
+
+    def _prefill_finalize(self, staged) -> Optional[_Parked]:
+        """Phase 2: fetch the staged group's first columns, stream each
+        request's first frame, and build the parked entry (None if every
+        row died at its prefill frame)."""
+        cfg = self.cfg
+        reqs, t_ends, column, next_keys, cache, ksig = staged
+        k = len(reqs)
         cols = np.asarray(column)[:k]
         nkeys = np.asarray(next_keys)[:k]
         alive = []

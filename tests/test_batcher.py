@@ -464,7 +464,7 @@ def test_prefix_hit_smaller_than_stored_bucket():
 def test_park_group_respects_allocated_row_budget():
     """Parked device memory is bounded by ALLOCATED cache rows, not request
     count: a padded 2-request group owns a 4-row cache, so with only 2
-    budget rows left `_park_group` must shrink to singles instead of
+    budget rows left the park-group selection must shrink to singles instead of
     overshooting park_max_rows (round-3 review finding)."""
     cfg = dual_ar_tiny(
         semantic_begin_id=300, semantic_end_id=331, im_end_id=3, max_seq_len=128
@@ -484,16 +484,22 @@ def test_park_group_respects_allocated_row_budget():
                 for i in range(n)
             ]
 
+        def park_one(max_rows):
+            bucket, group = b._select_park_group(max_rows)
+            pk = b._prefill_parked(bucket, group)
+            if pk is not None:
+                b.parked.append(pk)
+
         # budget 2: the pair would pad to a 4-row cache -> shrink to one
         b._overflow = reqs(2, 0)
-        b._park_group(max_rows=2)
+        park_one(max_rows=2)
         assert len(b.parked) == 1
         assert b.parked[0].rows_alloc == 1 and len(b.parked[0].reqs) == 1
         assert len(b._overflow) == 1  # the second request waits its turn
 
         # full budget: the pair rides the padded 4-row signature as one group
         b._overflow = reqs(2, 10)
-        b._park_group(max_rows=6)
+        park_one(max_rows=6)
         assert b.parked[-1].rows_alloc == 4 and len(b.parked[-1].reqs) == 2
         # _admit's budget check sums ALLOCATED rows (1 + 4, not 1 + 2)
         assert sum(pk.rows_alloc for pk in b.parked) == 5
@@ -990,7 +996,7 @@ def test_overload_keeps_full_chunks_when_admission_blocked():
         for r in reqs:  # every request streamed its prefill first frame
             assert r.out.get(timeout=120) is not None
         # wait for the parked-row budget itself: `queued` drops to 0 the
-        # moment the last overflow request enters its _park_group call,
+        # moment the last overflow request enters its park-group prefill,
         # BEFORE its parked entry lands (observed race)
         deadline = time.time() + 60
         while time.time() < deadline:
