@@ -9,18 +9,22 @@ delegated to external SGLang). Here it is first-class:
     inserted into free slots between decode sub-chunks: long chunks are
     dispatched as PIPELINED sub-chunks (`admit_every` steps, two in
     flight so the device runs back-to-back while fetches ride under
-    device time) and the worker stops dispatching the rest of a chunk
-    the moment a request arrives — open-loop admission wait is ~2
-    sub-chunks, not a full chunk (`_run_chunk`); bursty arrivals are
-    prefetched in GROUPS (one batched right-aligned prefill per prompt
-    bucket, group sizes in {16,4,1}) so admission cost amortizes instead of
-    serializing against the pool decode;
+    device time) and an arrival interrupts dispatch after at most ~one
+    in-flight sub-chunk — its admission prefill launches WHILE the
+    in-flight sub-chunks still run, so the pipeline never drains
+    (`_run_chunk`); bursty arrivals are prefilled in GROUPS (one batched
+    right-aligned prefill per prompt bucket, group sizes in {16,4,1})
+    dispatched TWO-PHASE: every group enqueues before any group's
+    columns are fetched, so a burst's admissions run back-to-back on
+    the device (`_prefill_dispatch`/`_prefill_finalize`);
   * when the pool is FULL, overflow requests are still prefilled into
-    PARKED device caches (one group per loop iteration, interleaved with
-    decode chunks; parked rows bounded by pool_size): their first frame
-    streams back immediately, and freed slots later receive parked rows via
-    one in-place gather+scatter — no re-prefill. Under a 2x-oversubscribed
-    burst every client gets first audio in well under a second;
+    PARKED device caches (all groups up to the parked-row budget,
+    front-loaded; parked rows bounded by 2x pool_size): their first
+    frame streams back immediately, and freed slots later receive parked
+    rows via one in-place gather+scatter — no re-prefill. Measured cold
+    bursts: 32 clients / 16-slot pool first-chunk p50 0.368 s; 32 / 32
+    p50 0.408 s; open-loop Poisson arrivals p50 0.16-0.19 s up to
+    8 req/s offered;
   * every iteration runs one jitted `decode_chunk_multi` over the whole
     pool — each slot has its own position, RNG key, RAS window and sampling
     params; inactive slots are frozen lanes;
