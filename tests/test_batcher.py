@@ -612,8 +612,17 @@ def test_cancelled_requests_free_slots_and_stop_decoding():
         b.shutdown()
 
 
-@pytest.mark.parametrize("kv_quant,prefix", [(False, 0), (True, 4)])
-def test_randomized_soak(kv_quant, prefix):
+@pytest.mark.parametrize("kv_quant,prefix,chunk,admit_every", [
+    (False, 0, 4, 4),
+    (True, 4, 4, 4),
+    # 1-step sub-chunks over an 8-step chunk: maximum interrupt pressure —
+    # 2-deep pipelining, overlapped mid-chunk admissions, and freed slots
+    # re-owned while older sub-chunks are still in flight (the per-entry
+    # owner-snapshot gating in `_run_chunk` is what keeps the bit-equality
+    # assertion below true here)
+    (False, 0, 8, 1),
+])
+def test_randomized_soak(kv_quant, prefix, chunk, admit_every):
     """Randomized concurrency soak over every pool path at once: a burst
     of clients with random prompt lengths (buckets 64 and 128 interleaved,
     so `_group_plan` emits full, padded, and single admission groups),
@@ -643,8 +652,9 @@ def test_randomized_soak(kv_quant, prefix):
     params = dual_ar.init_dual_ar(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
     b = ContinuousBatcher(
         params, cfg, SamplingConfig(mask_im_end=True), pool_size=6,
-        dtype=jnp.float32, decode_chunk_size=4,
+        dtype=jnp.float32, decode_chunk_size=chunk,
         kv_quant=kv_quant, prefix_cache_size=prefix,
+        admit_every=admit_every,
     )
     session = BatcherSession(b)
     rng = np.random.default_rng(1234)
