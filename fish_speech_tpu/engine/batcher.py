@@ -416,7 +416,11 @@ class ContinuousBatcher:
         prefill is enqueued before any group's columns are fetched, so a
         cold burst's admission prefills execute back-to-back on the
         device (round 5; previously each group paid a fetch + emission
-        pass before the next group dispatched).
+        pass before the next group dispatched). Transient memory while
+        staged: direct admission's scratch caches are bounded by the
+        pool's row count x the prompt bucket, parking by park_max_rows —
+        the same bounds the serial design had live at once, plus at most
+        one group's cache of overlap.
         """
         self._drain_pending()
         self._reap_cancelled()
