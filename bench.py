@@ -241,6 +241,13 @@ def _parse():
                              "= ~11 req/s)")
     parser.add_argument("--duration", type=float, default=20.0,
                         help="arrivals mode: seconds of arrivals per rate")
+    parser.add_argument("--cancel-frac", type=float, default=0.0,
+                        help="arrivals mode: this fraction of clients "
+                             "disconnects after its first chunk (sets the "
+                             "request's cancelled event — the worker must "
+                             "reap the slot and terminate the stream); "
+                             "survivor TTFA and throughput are reported "
+                             "alongside the reap accounting")
     parser.add_argument("--admit-every", type=int, default=4,
                         help="batcher modes: pipelined sub-chunk length — "
                              "the worker checks for new arrivals every "
@@ -1205,15 +1212,23 @@ def run_arrivals(args):
         n = len(arrive_at)
         ttfa = [None] * n
         done = [0] * n
+        # every k-th client disconnects after its first chunk: the worker
+        # must reap the slot (freeing it for later arrivals) and terminate
+        # the stream with None — open-loop disconnect robustness
+        stride = (max(1, round(1.0 / args.cancel_frac))
+                  if args.cancel_frac > 0 else 0)
+        cancels = {i for i in range(n) if stride and i % stride == 0}
 
-        def watch(i, q, submit_t):
+        def watch(i, req, submit_t):
             while True:
-                item = q.get()
+                item = req.out.get()
                 if item is None:
                     done[i] = 1
                     return
                 if ttfa[i] is None:
                     ttfa[i] = time.perf_counter() - submit_t
+                    if i in cancels:
+                        req.cancelled.set()  # keep draining until reaped
         threads = []
         t_start = time.perf_counter()
         late = 0.0
@@ -1226,7 +1241,7 @@ def run_arrivals(args):
             req = BatchRequest(prompt=prompt, max_new_tokens=args.steps,
                                seed=tag * 10000 + i)
             submit_t = time.perf_counter()
-            th = threading.Thread(target=watch, args=(i, req.out, submit_t))
+            th = threading.Thread(target=watch, args=(i, req, submit_t))
             th.start()
             threads.append(th)
             batcher.submit(req)
@@ -1248,6 +1263,7 @@ def run_arrivals(args):
 
         def pct(p):
             return round(lat[min(len(lat) - 1, int(len(lat) * p))], 3)
+        survivors = sum(d for i, d in enumerate(done) if i not in cancels)
         return {
             "ttfa_p50_s": round(lat[len(lat) // 2], 3),
             "ttfa_p90_s": pct(0.9),
@@ -1256,7 +1272,13 @@ def run_arrivals(args):
             "completed": sum(done),
             "offered_req_s": round(rate, 2),
             "achieved_req_s": round(sum(done) / wall, 2),
-            "frames_per_s": round(sum(done) * args.steps / wall, 1),
+            # frames credit survivors only: a reaped stream's budget was
+            # deliberately not decoded — that is the feature
+            "frames_per_s": round(survivors * args.steps / wall, 1),
+            **({"cancelled": len(cancels),
+                "cancelled_terminated": sum(
+                    d for i, d in enumerate(done) if i in cancels)}
+               if cancels else {}),
             **({"max_submit_lag_s": round(late, 3)} if late > 0.05 else {}),
         }
 
