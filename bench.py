@@ -1212,6 +1212,7 @@ def run_arrivals(args):
         n = len(arrive_at)
         ttfa = [None] * n
         done = [0] * n
+        errors = []  # worker-crash exceptions surfaced through req.out
         # every k-th client disconnects after its first chunk: the worker
         # must reap the slot (freeing it for later arrivals) and terminate
         # the stream with None — open-loop disconnect robustness
@@ -1225,6 +1226,12 @@ def run_arrivals(args):
                 if item is None:
                     done[i] = 1
                     return
+                if isinstance(item, BaseException):
+                    # batcher worker crashed: the queue gets the exception
+                    # once and nothing after it — fail fast instead of
+                    # stamping it as a TTFA and blocking on get() forever
+                    errors.append((i, item))
+                    return
                 if ttfa[i] is None:
                     ttfa[i] = time.perf_counter() - submit_t
                     if i in cancels:
@@ -1233,6 +1240,8 @@ def run_arrivals(args):
         t_start = time.perf_counter()
         late = 0.0
         for i, at in enumerate(arrive_at):
+            if errors:
+                break  # worker crashed; stop offering load
             now = time.perf_counter() - t_start
             if now < at:
                 time.sleep(at - now)
@@ -1247,6 +1256,12 @@ def run_arrivals(args):
             batcher.submit(req)
         for th in threads:
             th.join(timeout=600)
+        if errors:
+            i, exc = errors[0]
+            raise RuntimeError(
+                f"batcher worker crashed during open-loop sweep "
+                f"(first surfaced on arrival {i}/{n}): {exc!r}"
+            ) from exc
         wall = time.perf_counter() - t_start
         lat = sorted(t for t in ttfa if t is not None)
         if not lat:

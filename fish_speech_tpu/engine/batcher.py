@@ -246,6 +246,10 @@ class ContinuousBatcher:
         self.first_chunk = first_chunk_size or decode_chunk_size
         # pipelined sub-chunk length (`_run_chunk`): admission-wait bound
         # ~2 sub-chunks; 0 = monolithic chunks (the pre-round-5 behavior)
+        if admit_every < 0:
+            # a negative value would make _chunk_plan return an empty plan
+            # and the worker busy-spin with admitted streams never decoding
+            raise ValueError(f"admit_every must be >= 0, got {admit_every}")
         self.admit_every = admit_every
         self.idle_sleep = idle_sleep
         self.cache_len = self.cfg.max_seq_len + decode_chunk_size

@@ -285,6 +285,15 @@ class TTSInferenceEngine:
                     device_partials=(
                         req.streaming
                         and not getattr(self.session, "concurrent", False)
+                        # multi-host leader: the device-partial codec decode
+                        # would feed an LM array committed to the process-
+                        # spanning mesh into the process-LOCAL codec jit
+                        # (incompatible device sets); the host path streams
+                        # per-chunk audio and replays identically on
+                        # followers (server/multihost.py)
+                        and not getattr(
+                            self.session, "_multihost_leader", False
+                        )
                     ),
                     cancel_check=req.cancel_check,
                 ):

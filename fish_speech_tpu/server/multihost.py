@@ -17,8 +17,12 @@ in the same order.
     rest of the stream so the leader never falls out of lockstep with
     followers that run every request to completion.
   - Hosts 1..N-1 run `follower_loop(session)`: receive descriptors,
-    replay `session.generate(...)` with identical arguments, exit on the
-    stop descriptor (broadcast by the leader's shutdown path).
+    replay `session.generate_stream(...)` to exhaustion with identical
+    arguments — including the streaming-path kwargs (pipeline_lookahead,
+    device_partials), so the follower walks the exact same dispatch
+    sequence — and exit on the stop descriptor (broadcast by the
+    leader's shutdown path). Per-request errors are logged and survived,
+    mirroring the leader's engine-layer catch.
 
 Everything downstream of the LM — codec decode, transcoding, HTTP — runs
 on the leader only: those touch process-LOCAL arrays, and JAX's SPMD
@@ -56,6 +60,14 @@ def _schema(cfg):
         "top_p": np.zeros((), np.float32),
         "top_k": np.zeros((), np.int32),
         "key": np.zeros((2,), np.uint32),
+        # streaming-path kwargs: the follower must replay the EXACT same
+        # generate_stream code path (device_partials dispatches one decode
+        # chunk per yield and stops at the chunk containing im_end; the
+        # host path with lookahead>0 keeps extra chunks in flight past
+        # im_end) — a path mismatch desyncs the dispatch counts and hangs
+        # the mesh on the first streaming request
+        "lookahead": np.zeros((), np.int32),
+        "device_partials": np.zeros((), np.int32),
     }
 
 
@@ -83,7 +95,8 @@ def wrap_leader(session, cfg) -> None:
 
     def generate_stream(prompt, key, max_new_tokens=0, temperature=1.0,
                         top_p=0.9, top_k=30, audio_features=None,
-                        audio_mask=None, **kw):
+                        audio_mask=None, pipeline_lookahead=0,
+                        device_partials=False, **kw):
         if audio_features is not None:
             raise NotImplementedError(
                 "audio-feature conditioning is not broadcast to follower "
@@ -98,11 +111,20 @@ def wrap_leader(session, cfg) -> None:
         desc["top_p"] += np.float32(top_p)
         desc["top_k"] += int(top_k)
         desc["key"] += _key_data(key)
+        desc["lookahead"] += int(pipeline_lookahead)
+        desc["device_partials"] += int(bool(device_partials))
         _broadcast(desc, cfg)
         gen = orig(prompt, key, max_new_tokens=max_new_tokens,
-                   temperature=temperature, top_p=top_p, top_k=top_k, **kw)
+                   temperature=temperature, top_p=top_p, top_k=top_k,
+                   pipeline_lookahead=pipeline_lookahead,
+                   device_partials=device_partials, **kw)
         try:
-            yield from gen
+            # NOT `yield from`: a consumer close() (disconnect / cancel)
+            # would propagate GeneratorExit THROUGH the delegation and
+            # close `gen` before the finally ran, making the drain a no-op
+            # — the exact lockstep bug this wrapper exists to prevent
+            for item in gen:
+                yield item
         finally:
             # keep lockstep: followers run every request to completion, so
             # an abandoned leader stream (disconnect, cancel) must still
@@ -133,13 +155,28 @@ def follower_loop(session, cfg) -> int:
             logger.info("follower: stop received after %d requests", served)
             return served
         prompt = desc["prompt"][:, : int(desc["plen"])]
-        # the repo uses old-style uint32 (2,) PRNG keys throughout; every
-        # jax.random op accepts the raw array directly
-        session.generate(
-            prompt, jax.numpy.asarray(desc["key"]),
-            max_new_tokens=int(desc["max_new_tokens"]),
-            temperature=float(desc["temperature"]),
-            top_p=float(desc["top_p"]),
-            top_k=int(desc["top_k"]),
-        )
+        try:
+            # the repo uses old-style uint32 (2,) PRNG keys throughout;
+            # every jax.random op accepts the raw array directly. Replay
+            # through generate_stream with the leader's broadcast kwargs
+            # so the device-dispatch sequence (chunk count, partial
+            # fetches, device concatenates) is identical to the leader's.
+            stream = session.generate_stream(
+                prompt, jax.numpy.asarray(desc["key"]),
+                max_new_tokens=int(desc["max_new_tokens"]),
+                temperature=float(desc["temperature"]),
+                top_p=float(desc["top_p"]),
+                top_k=int(desc["top_k"]),
+                pipeline_lookahead=int(desc["lookahead"]),
+                device_partials=bool(int(desc["device_partials"])),
+            )
+            for _ in stream:
+                pass
+        except Exception:
+            # mirror the leader, which catches per-request errors at the
+            # engine layer and keeps serving: a deterministic validation
+            # error raises on both sides BEFORE any device dispatch, so
+            # surviving it here preserves lockstep — exiting would leave
+            # every later leader dispatch without a peer (permanent hang)
+            logger.exception("follower: request %d replay failed", served)
         served += 1

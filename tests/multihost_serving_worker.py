@@ -16,6 +16,8 @@ single-process engine built from the identical `--tiny` args.
 import hashlib
 import sys
 
+import numpy as np
+
 
 def main():
     port, pid = sys.argv[1], int(sys.argv[2])
@@ -45,10 +47,21 @@ def main():
         for seed in (7, 8):
             digest = run_request(engine, seed)
             print(f"RESULT pid=0 seed={seed} audio={digest}", flush=True)
+        # streaming request: leader takes the host per-chunk path
+        # (device_partials is disabled for multi-host leaders) and the
+        # follower replays the identical dispatch sequence
+        digest = run_streaming_request(engine, 9)
+        print(f"RESULT pid=0 stream seed=9 audio={digest}", flush=True)
+        # abandoned stream: close after the first audio segment — the
+        # wrap_leader drain must dispatch the remaining decode chunks so
+        # lockstep survives for the NEXT request
+        run_streaming_request(engine, 10, abandon_after=1)
+        digest = run_request(engine, 11)
+        print(f"RESULT pid=0 seed=11 audio={digest}", flush=True)
         mh.broadcast_stop(engine.session, cfg)
     else:
         served = mh.follower_loop(engine.session, cfg)
-        assert served >= 2, f"follower replayed only {served} generations"
+        assert served >= 5, f"follower replayed only {served} generations"
         print(f"RESULT pid=1 served={served}", flush=True)
 
 
@@ -72,6 +85,36 @@ def run_request(engine, seed: int) -> str:
             final = result.audio[1]
     assert final is not None, "no final audio"
     return hashlib.sha256(final.tobytes()).hexdigest()[:16]
+
+
+def run_streaming_request(engine, seed: int, abandon_after: int = 0) -> str:
+    """One STREAMING TTS request; returns a digest of the concatenated
+    segment chunks. abandon_after > 0 closes the stream after that many
+    segments (simulated client disconnect) — the leader wrapper must then
+    drain the remaining decode chunks to keep follower lockstep."""
+    import hashlib as _hashlib
+
+    from fish_speech_tpu.engine.tts import TTSRequest
+
+    gen = engine.inference(
+        TTSRequest(text="Hello world.", max_new_tokens=16, seed=seed,
+                   streaming=True)
+    )
+    chunks = []
+    try:
+        for result in gen:
+            if result.code == "error":
+                raise result.error
+            if result.code == "segment":
+                chunks.append(result.audio[1])
+                if abandon_after and len(chunks) >= abandon_after:
+                    break
+    finally:
+        gen.close()
+    assert chunks, "no streamed audio segments"
+    return _hashlib.sha256(
+        b"".join(np.ascontiguousarray(c).tobytes() for c in chunks)
+    ).hexdigest()[:16]
 
 
 if __name__ == "__main__":

@@ -1051,3 +1051,20 @@ def test_overload_keeps_full_chunks_when_admission_blocked():
         if blocked is not None:
             blocked.cancelled.set()
         b.shutdown()
+
+
+def test_negative_admit_every_rejected_at_construction():
+    """A negative admit_every would make _chunk_plan return an empty plan
+    and the worker busy-spin while admitted streams never decode — it must
+    fail loudly at construction instead."""
+    cfg = dual_ar_tiny(
+        semantic_begin_id=300, semantic_end_id=331, im_end_id=3,
+        max_seq_len=128,
+    )
+    params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.float32)
+    with pytest.raises(ValueError, match="admit_every"):
+        ContinuousBatcher(
+            params, cfg, SamplingConfig(), pool_size=2, dtype=jnp.float32,
+            decode_chunk_size=4, admit_every=-1,
+        )

@@ -97,8 +97,14 @@ def test_two_process_serving_matches_single_process():
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
     got = dict(re.findall(r"RESULT pid=0 seed=(\d+) audio=(\w+)", outs[0]))
-    assert set(got) == {"7", "8"}, outs[0][-2000:]
-    assert re.search(r"RESULT pid=1 served=(\d+)", outs[1]), outs[1][-2000:]
+    # seed 11 runs AFTER an abandoned stream (seed 10): its presence +
+    # equality proves the leader's drain kept follower lockstep
+    assert set(got) == {"7", "8", "11"}, outs[0][-2000:]
+    m_stream = re.search(r"RESULT pid=0 stream seed=9 audio=(\w+)", outs[0])
+    assert m_stream, outs[0][-2000:]
+    m_served = re.search(r"RESULT pid=1 served=(\d+)", outs[1])
+    assert m_served, outs[1][-2000:]
+    assert int(m_served.group(1)) == 5, outs[1][-2000:]
 
     # unsharded single-process reference through the same server build path
     sys.path.insert(0, str(_SERVING_WORKER.parent))
@@ -107,11 +113,17 @@ def test_two_process_serving_matches_single_process():
     from fish_speech_tpu.server.main import build_engine, parse_args
 
     engine = build_engine(parse_args(w.WORKER_ARGS))
-    for seed in (7, 8):
+    for seed in (7, 8, 11):
         assert w.run_request(engine, seed) == got[str(seed)], (
             f"sharded 2-process audio diverged from single-process "
             f"(seed {seed})"
         )
+    # streaming comparison must take the same host per-chunk path the
+    # multi-host leader took (device_partials off)
+    engine.session._multihost_leader = True
+    assert w.run_streaming_request(engine, 9) == m_stream.group(1), (
+        "sharded 2-process STREAMED audio diverged from single-process"
+    )
 
 
 def test_two_process_train_step_matches_single_process():
