@@ -779,6 +779,8 @@ def run_train(args):
     # synchronous per-step timing: fetch the loss every step (async
     # enqueue + block-on-last measured dispatch, not execution, through
     # the device tunnel)
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     losses = []
     for i in range(args.train_steps):
@@ -788,6 +790,9 @@ def run_train(args):
         print(f"# step {i}: {time.perf_counter()-ts:.2f}s "
               f"loss={losses[-1]:.4f}", file=sys.stderr)
     wall = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"# profiler trace -> {args.profile}", file=sys.stderr)
     tokens_per_s = b * t * args.train_steps / wall
     assert losses[-1] != losses[0] or args.train_steps < 3, (
         "loss did not move over the run — trainable path disconnected?")

@@ -56,10 +56,19 @@ def dual_ar_loss(params, cfg: DualARConfig, batch, remat=None):
 
     loss = base_loss + semantic_loss
 
-    # top-5 accuracy (excluding codebook pad)
+    # top-5 accuracy (excluding codebook pad), rank-count form: the label
+    # is in the top 5 iff fewer than 5 logits strictly exceed its own.
+    # Equivalent to lax.top_k membership for distinct logits (ties are
+    # measure-zero with real weights) and avoids materializing a sort of
+    # the whole vocab axis — the top_k lowering cost a measured 40 ms/step
+    # (3%) of the flagship finetune step on v5e.
     acc_mask = cb_valid & (cb_labels != CODEBOOK_PAD_TOKEN_ID)
-    top5 = jax.lax.top_k(codebook_logits, 5)[1]  # (B, T, C, 5)
-    correct = jnp.any(top5 == cb_labels[..., None], axis=-1) & acc_mask
+    safe_cb = jnp.clip(cb_labels, 0, codebook_logits.shape[-1] - 1)
+    label_logit = jnp.take_along_axis(
+        codebook_logits, safe_cb[..., None], axis=-1
+    )
+    rank = (codebook_logits > label_logit).sum(axis=-1)  # (B, T, C)
+    correct = (rank < 5) & acc_mask
     denom = jnp.maximum(acc_mask.sum(), 1)
     accuracy = correct.sum() / denom
 

@@ -59,6 +59,20 @@ def test_loss_decreases_on_fixed_batch(tokenizer):
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+def test_top5_rank_count_matches_topk(tokenizer):
+    """The rank-count top-5 accuracy (loss.py — avoids sorting the vocab
+    axis; the lax.top_k lowering cost 40 ms/step on the flagship finetune)
+    must equal lax.top_k membership for distinct logits."""
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((3, 7, 4, 33)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 33, size=(3, 7, 4)))
+    top5 = jax.lax.top_k(logits, 5)[1]
+    ref = jnp.any(top5 == labels[..., None], axis=-1)
+    label_logit = jnp.take_along_axis(logits, labels[..., None], axis=-1)
+    got = (logits > label_logit).sum(axis=-1) < 5
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_loss_respects_masks(tokenizer):
     cfg = make_cfg(tokenizer)
     params = dual_ar.init_dual_ar(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
