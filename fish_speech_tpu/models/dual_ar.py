@@ -56,6 +56,15 @@ from fish_speech_tpu.ops.rope import apply_rope, precompute_rope
 # boundary the prefix-cache hit path crosses); "off" forces XLA attention.
 FLASH_PREFILL = "auto"
 
+# Flash-train dispatch (read at trace time by `_block_train`): "auto" uses
+# the Pallas training kernels (ops/pallas_attention_train.py — fwd + bwd,
+# scores VMEM-resident) on a SINGLE TPU device for sequences >= 512;
+# "interpret" forces them in interpret mode (CPU gradient-parity tests);
+# "off" forces the XLA einsum path. Multi-device training keeps the XLA
+# path: pallas_call has no GSPMD partitioning rule, so under a mesh the
+# kernel would silently force a gather of the sharded operands.
+FLASH_TRAIN = "auto"
+
 # ---------------------------------------------------------------------------
 # Initialization
 # ---------------------------------------------------------------------------
@@ -321,22 +330,46 @@ def _ffn(lp, spec, h2):
     return mm(g, lp["w2"]) + _lora_delta(lp, "w2", g, lora_scale)
 
 
-def _block_train(lp, spec, x, freqs, mask, eps):
-    """One pre-norm block, self-attention over x itself (no cache)."""
+def _block_train(lp, spec, x, freqs, mask, eps, kvalid=None):
+    """One pre-norm block, self-attention over x itself (no cache).
+
+    When `kvalid` (B, T) is given and the flash-train dispatch engages
+    (TPU, single device, T >= 512), attention runs through the Pallas
+    training kernel (`ops.pallas_attention_train`) — scores never leave
+    VMEM in either direction; `mask` must then be exactly
+    causal & kvalid, which is what `forward_train` builds.
+    """
     h = rms_norm(x, lp["attn_norm"], eps)
     q, k, v = _qkv(lp, spec, h)
     q = apply_rope(q, freqs)
     k = apply_rope(k, freqs)
-    y = gqa_attention(q, k, v, mask)
+    t = x.shape[1]
+    if FLASH_TRAIN == "auto":
+        use_flash = (
+            kvalid is not None and t >= 512 and t % 128 == 0
+            and jax.default_backend() == "tpu" and jax.device_count() == 1
+        )
+    else:
+        use_flash = FLASH_TRAIN == "interpret" and kvalid is not None
+    if use_flash:
+        from fish_speech_tpu.ops.pallas_attention_train import (
+            flash_train_attention,
+        )
+
+        y = flash_train_attention(q, k, v, kvalid,
+                                  FLASH_TRAIN == "interpret")
+    else:
+        y = gqa_attention(q, k, v, mask)
     b, t = y.shape[:2]
     x = x + _attn_out(lp, spec, y.reshape(b, t, -1))
     h2 = rms_norm(x, lp["ffn_norm"], eps)
     return x + _ffn(lp, spec, h2)
 
 
-def _run_stack_train(layers, spec, x, freqs, mask, eps, remat=False):
+def _run_stack_train(layers, spec, x, freqs, mask, eps, remat=False,
+                     kvalid=None):
     def body(carry, lp):
-        return _block_train(lp, spec, carry, freqs, mask, eps), None
+        return _block_train(lp, spec, carry, freqs, mask, eps, kvalid), None
 
     if remat:
         body = jax.checkpoint(body)
@@ -527,9 +560,13 @@ def forward_train(
     mask = i[None, :] <= i[:, None]  # (T, T) causal
     if pad_mask is not None:
         mask = mask[None] & ~pad_mask[:, None, :]
+        kvalid = ~pad_mask
+    else:
+        kvalid = jnp.ones((b, t), bool)
 
     x = _run_stack_train(
-        params["layers"], _slow_spec(cfg), x, freqs, mask, cfg.norm_eps, remat
+        params["layers"], _slow_spec(cfg), x, freqs, mask, cfg.norm_eps,
+        remat, kvalid=kvalid,
     )
     slow_out = rms_norm(x, params["norm"], cfg.norm_eps)
     token_logits = _lm_head(params, cfg, slow_out)
